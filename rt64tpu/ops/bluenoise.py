@@ -1,0 +1,123 @@
+"""Blue-noise sampling table.
+
+The reference ships a 512x512 RGB texture holding 64 frames of 64x64
+blue noise (res/bluenoise/LDR_64_64_64_RGB1.bmp, loaded at
+rt64_device.cpp:794-797; indexed by BlueNoise.hlsli:7-12). We generate
+an equivalent table with the void-and-cluster algorithm (Ulichney '93)
+at first use and cache it under the package as an .npy artifact, so
+sampling stays deterministic per (pixel, frame) exactly like the
+reference's.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+_TILE = 64
+_FRAMES = 64
+_CACHE = os.path.join(os.path.dirname(__file__), "_bluenoise_cache.npy")
+_table = None
+
+
+def _void_and_cluster(size: int, seed: int) -> np.ndarray:
+    """One blue-noise rank tile in [0,1), shape (size, size).
+
+    Incremental void-and-cluster: the toroidal gaussian energy field is
+    updated in place as points are added/removed, so each step is one
+    rolled-kernel add instead of a convolution.
+    """
+    rng = np.random.default_rng(seed)
+    n = size * size
+    sigma = 1.9
+    ax = np.arange(size)
+    d = np.minimum(ax, size - ax).astype(np.float64)
+    d2 = d[:, None] ** 2 + d[None, :] ** 2
+    kernel = np.exp(-d2 / (2.0 * sigma * sigma))
+    yy = np.arange(size)[:, None]
+    xx = np.arange(size)[None, :]
+
+    def kern_at(y, x):
+        return kernel[(yy - y) % size, (xx - x) % size]
+
+    mask = np.zeros((size, size), bool)
+    energy = np.zeros((size, size))
+    count = n // 10
+    init = rng.choice(n, count, replace=False)
+    for fi in init:
+        y, x = divmod(int(fi), size)
+        mask[y, x] = True
+        energy += kern_at(y, x)
+
+    # Relax the initial set: move tightest cluster into largest void.
+    for _ in range(4 * count):
+        c = np.argmax(np.where(mask.ravel(), energy.ravel(), -np.inf))
+        cy, cx = divmod(int(c), size)
+        mask[cy, cx] = False
+        energy -= kern_at(cy, cx)
+        v = np.argmin(np.where(mask.ravel(), np.inf, energy.ravel()))
+        if v == c:
+            mask[cy, cx] = True
+            energy += kern_at(cy, cx)
+            break
+        vy, vx = divmod(int(v), size)
+        mask[vy, vx] = True
+        energy += kern_at(vy, vx)
+
+    rank = np.zeros(n, np.int64)
+    # Phase 1: remove points, ranking count-1 .. 0.
+    work = mask.copy()
+    e = energy.copy()
+    for r in range(count - 1, -1, -1):
+        c = np.argmax(np.where(work.ravel(), e.ravel(), -np.inf))
+        cy, cx = divmod(int(c), size)
+        work[cy, cx] = False
+        e -= kern_at(cy, cx)
+        rank[c] = r
+    # Phase 2: fill voids, ranking count .. n-1.
+    work = mask.copy()
+    e = energy.copy()
+    for r in range(count, n):
+        v = np.argmin(np.where(work.ravel(), np.inf, e.ravel()))
+        vy, vx = divmod(int(v), size)
+        work[vy, vx] = True
+        e += kern_at(vy, vx)
+        rank[v] = r
+    return ((rank.astype(np.float64) + 0.5) / n).reshape(size, size).astype(np.float32)
+
+
+def generate_table(frames: int = _FRAMES) -> np.ndarray:
+    """(frames, 64, 64, 3): frames x H x W x rgb blue-noise values."""
+    out = np.zeros((frames, _TILE, _TILE, 3), np.float32)
+    for f in range(frames):
+        for c in range(3):
+            out[f, :, :, c] = _void_and_cluster(_TILE, seed=f * 3 + c + 1)
+    return out
+
+
+def get_table() -> np.ndarray:
+    global _table
+    if _table is None:
+        if os.path.exists(_CACHE):
+            _table = np.load(_CACHE)
+        else:
+            _table = generate_table()
+            try:
+                np.save(_CACHE, _table)
+            except OSError:
+                pass
+    return _table
+
+
+def get_blue_noise(table, pixel_xy, frame_count):
+    """getBlueNoise (BlueNoise.hlsli:7-12): (..., 3) values.
+
+    table: (64, 64, 64, 3) jnp array; pixel_xy: (..., 2) int (x, y);
+    frame_count: scalar or (...,) int.
+    """
+    f = jnp.remainder(jnp.asarray(frame_count, jnp.int32), table.shape[0])
+    px = jnp.remainder(pixel_xy[..., 0], _TILE)
+    py = jnp.remainder(pixel_xy[..., 1], _TILE)
+    return table[f, py, px]

@@ -1,0 +1,193 @@
+"""ViewRenderer: drives the jitted frame graph for an api.View.
+
+The View::update / View::render split of the reference
+(rt64_view.cpp:1053-1178 / :1180-1667): update() assembles scene
+buffers (instance classification + uploads), render() invokes the
+jitted frame with donated temporal history and retains the outputs for
+presentation, picking, and the inspector.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rt64tpu import descriptors as d
+from rt64tpu.models import upscaler as ups
+from rt64tpu.ops import bluenoise, math3d
+from rt64tpu.pipeline import framegraph as fg
+from rt64tpu.pipeline.scene_buffers import ScenePacker
+
+
+class ViewRenderer:
+    def __init__(self, view):
+        self.view = view
+        device = view.scene.device
+        self.packer = ScenePacker(device.limits)
+        self.bn_table = jnp.asarray(bluenoise.get_table())
+        self.history: Optional[fg.History] = None
+        self.active_instances = []
+        self._sb = None
+        self._jitted = {}
+        self._temporal_history = None
+        self._prev_view_proj = None
+        self._prev_view_i = None
+
+    # -- update: the View::update analog -----------------------------------
+    def update(self):
+        view = self.view
+        scene = view.scene
+        device = scene.device
+        # Raytraced instances only for now; raster bg/fg instances are
+        # classified out (rt64_view.cpp:1081-1147) and composited by the
+        # raster path.
+        active = [
+            inst for inst in scene.instances
+            if inst.desc.mesh is not None and inst.desc.shader is not None
+            and inst.desc.shader.raytrace_enabled
+            and not (inst.desc.flags & d.INSTANCE_RASTER_BACKGROUND)
+        ]
+        self.active_instances = active
+        self.packer.pack_textures(device.textures)
+        self.packer.pack_geometry(active)
+        self._sb = self.packer.pack_frame(active, scene.lights_array())
+
+    # -- render: the View::render analog ------------------------------------
+    def render(self, delta_time_ms: float):
+        view = self.view
+        cfg = self._config()
+        gp = self._global_params(cfg)
+        if self.history is None or self.history.depth.shape != (
+            cfg.rt_height, cfg.rt_width,
+        ):
+            self.history = fg.History.zeros(cfg.rt_height, cfg.rt_width)
+
+        fn = self._get_jitted(cfg, view.visualization_mode)
+        bg_image = self._background_image(cfg)
+        out = fn(self._sb, gp, self.history, self.bn_table, bg_image)
+        self.history = out.history
+        self._last = out
+        img = np.asarray(out.image)
+        frame = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        view._framebuffer = np.concatenate(
+            [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=-1
+        )
+        view._last_outputs = {
+            "instance_id": np.asarray(
+                out.gbuffers.instance_id.reshape(cfg.rt_height, cfg.rt_width)
+            ),
+        }
+
+    def _get_jitted(self, cfg, vis_mode):
+        key = (cfg, vis_mode)
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(fg.render_frame, cfg=cfg, visualization_mode=vis_mode),
+                donate_argnums=(2,),
+            )
+            self._jitted[key] = fn
+        return fn
+
+    def _config(self) -> fg.RenderConfig:
+        view = self.view
+        vd = view.desc
+        dw, dh = view.width, view.height
+        if vd.upscaler != d.UPSCALER_OFF:
+            rw, rh = ups.quality_resolution(vd.upscaler_mode, dw, dh)
+        else:
+            rw = max(1, int(dw * vd.resolution_scale))
+            rh = max(1, int(dh * vd.resolution_scale))
+        return fg.RenderConfig(
+            rt_width=rw,
+            rt_height=rh,
+            display_width=dw,
+            display_height=dh,
+            di_samples=int(vd.di_samples),
+            gi_samples=int(vd.gi_samples),
+            max_lights=int(vd.max_lights),
+            max_reflections=view.max_reflections,
+            motion_blur_samples=32,
+            denoiser_enabled=bool(vd.denoiser_enabled),
+            upscaler=int(vd.upscaler),
+        )
+
+    def _global_params(self, cfg) -> fg.GlobalParams:
+        view = self.view
+        scene = view.scene
+        desc = scene.desc
+        vmat = view.view_matrix.astype(np.float32)
+        proj = math3d.perspective_fov_rh(
+            view.fov_radians, cfg.display_width / cfg.display_height,
+            view.near_dist, view.far_dist,
+        )
+        view_i = np.linalg.inv(vmat)
+        proj_i = np.linalg.inv(proj)
+        view_proj = vmat @ proj
+        # Reprojection bookkeeping (rt64_view.cpp:977-990).
+        if view.can_reproject and self._prev_view_proj is not None:
+            prev_view_proj = self._prev_view_proj
+            prev_view_i = self._prev_view_i
+        else:
+            prev_view_proj = view_proj
+            prev_view_i = view_i
+        self._prev_view_proj = view_proj
+        self._prev_view_i = view_i
+
+        cam_u, cam_v, cam_w = math3d.camera_uvw(
+            view_i, view.fov_radians, cfg.display_width / cfg.display_height,
+            view.near_dist, view.far_dist,
+        )
+        # Jitter only while an upscaler runs (rt64_view.cpp:1273-1281).
+        if view.desc.upscaler != d.UPSCALER_OFF:
+            phases = ups.jitter_phase_count(cfg.rt_width, cfg.display_width)
+            jitter = math3d.halton_jitter(view.frame_count, phases)
+        else:
+            jitter = (0.0, 0.0)
+
+        vd = view.desc
+        denoiser = bool(vd.denoiser_enabled)
+        sky_idx = (
+            view.sky_plane_texture.texture_id
+            if view.sky_plane_texture is not None
+            else -1
+        )
+        f32 = np.float32
+        return fg.GlobalParams(
+            view=jnp.asarray(vmat),
+            view_i=jnp.asarray(view_i.astype(f32)),
+            prev_view_i=jnp.asarray(prev_view_i.astype(f32)),
+            projection=jnp.asarray(proj),
+            projection_i=jnp.asarray(proj_i.astype(f32)),
+            view_proj=jnp.asarray(view_proj.astype(f32)),
+            prev_view_proj=jnp.asarray(prev_view_proj.astype(f32)),
+            camera_u=jnp.asarray(np.asarray(cam_u, f32)),
+            camera_v=jnp.asarray(np.asarray(cam_v, f32)),
+            camera_w=jnp.asarray(np.asarray(cam_w, f32)),
+            pixel_jitter=jnp.asarray(np.asarray(jitter, f32)),
+            ambient_base=jnp.asarray(np.asarray(desc.ambient_base_color, f32)),
+            ambient_no_gi=jnp.asarray(np.asarray(desc.ambient_no_gi_color, f32)),
+            eye_light_diffuse=jnp.asarray(np.asarray(desc.eye_light_diffuse_color, f32)),
+            eye_light_specular=jnp.asarray(np.asarray(desc.eye_light_specular_color, f32)),
+            sky_diffuse_mult=jnp.asarray(np.asarray(desc.sky_diffuse_multiplier, f32)),
+            sky_hsl_mod=jnp.asarray(np.asarray(desc.sky_hsl_modifier, f32)),
+            sky_yaw_offset=jnp.float32(desc.sky_yaw_offset),
+            gi_diffuse_strength=jnp.float32(desc.gi_diffuse_strength),
+            gi_sky_strength=jnp.float32(desc.gi_sky_strength),
+            motion_blur_strength=jnp.float32(vd.motion_blur_strength),
+            sky_plane_tex_index=jnp.int32(sky_idx),
+            frame_count=jnp.uint32(view.frame_count),
+            di_reproject=jnp.bool_(False),  # DI_REPROJECTION_SUPPORT undefined
+            gi_reproject=jnp.bool_(denoiser and vd.gi_samples > 0),
+            binary_lock_mask=jnp.bool_(vd.upscaler != d.UPSCALER_FSR),
+            visualization_mode=jnp.int32(view.visualization_mode),
+        )
+
+    def _background_image(self, cfg):
+        """Raster-background plane (rt64_view.cpp:1292-1319). Black until
+        the raster path lands; sized to render resolution."""
+        return jnp.zeros((cfg.rt_height, cfg.rt_width, 3), jnp.float32)

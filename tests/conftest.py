@@ -1,0 +1,16 @@
+"""Test environment: CPU backend with 8 virtual devices.
+
+The CPU-backend analog of the reference's RT64_MINIMAL/WARP headless
+configuration (SURVEY.md section 4): correctness tests run on the JAX
+CPU backend; the 8 virtual devices exercise the multi-chip sharding
+paths without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
