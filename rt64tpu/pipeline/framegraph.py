@@ -53,7 +53,8 @@ class RenderConfig:
     denoiser_enabled: bool = False
     gi_filter_passes: int = 5  # rt64_view.cpp:1512-1530
     upscaler: int = 0
-    tri_chunk: int = 128
+    tri_chunk: int = 256
+    alpha_cap: int = 256  # compacted alpha triangle list capacity
 
 
 class GlobalParams(NamedTuple):
@@ -124,7 +125,9 @@ class GBuffers(NamedTuple):
     refraction_alpha: jax.Array  # (N,)
 
 
-def make_trace_scene(sb: sbuf.SceneBuffers, world: shade_ops.WorldGeometry) -> tracer.TraceScene:
+def make_trace_scene(
+    sb: sbuf.SceneBuffers, world: shade_ops.WorldGeometry, alpha_cap: int = 256
+) -> tracer.TraceScene:
     """Build the tracer's triangle-soup view of the frame."""
     v0, v1, v2 = (
         world.world_pos[sb.tri_idx[:, 0]],
@@ -135,9 +138,8 @@ def make_trace_scene(sb: sbuf.SceneBuffers, world: shade_ops.WorldGeometry) -> t
     alpha = (sb.mat_i[inst, sbuf.II_ALPHA_CLASS] == 1) & sb.tri_valid
     no_cull = sb.mat_i[inst, sbuf.II_NO_CULL] == 1
     bias = sb.mat_f[inst, sbuf.MAT_DEPTH_BIAS]
-    return tracer.TraceScene(
-        v0=v0, v1=v1, v2=v2, valid=sb.tri_valid, alpha=alpha,
-        no_cull=no_cull, bias=bias,
+    return tracer.make_trace_scene_arrays(
+        v0, v1, v2, sb.tri_valid, alpha, no_cull, bias, alpha_cap
     )
 
 
@@ -861,7 +863,7 @@ def render_frame(
     n = h * w
 
     world = build_world(sb)
-    trace_scene = make_trace_scene(sb, world)
+    trace_scene = make_trace_scene(sb, world, cfg.alpha_cap)
 
     pix, origin, dirs = primary_rays(cfg, gp)
     origins = jnp.broadcast_to(origin, dirs.shape)

@@ -114,6 +114,7 @@ class ViewRenderer:
             motion_blur_samples=32,
             denoiser_enabled=bool(vd.denoiser_enabled),
             upscaler=int(vd.upscaler),
+            alpha_cap=self.packer.limits.alpha_triangles,
         )
 
     def _global_params(self, cfg) -> fg.GlobalParams:

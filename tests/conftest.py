@@ -8,9 +8,16 @@ paths without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin force-sets jax_platforms to "axon,cpu" during
+# import, overriding the JAX_PLATFORMS env var — so the env var alone
+# does NOT pin tests to CPU. Override the config after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+

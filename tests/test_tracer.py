@@ -39,10 +39,10 @@ def _random_scene(rng, n_tris=64, alpha_frac=0.5):
     alpha = rng.random(n_tris) < alpha_frac
     no_cull = np.zeros(n_tris, bool)
     bias = np.zeros(n_tris, np.float32)
-    return tracer.TraceScene(
-        v0=jnp.asarray(v0), v1=jnp.asarray(v1), v2=jnp.asarray(v2),
-        valid=jnp.asarray(valid), alpha=jnp.asarray(alpha),
-        no_cull=jnp.asarray(no_cull), bias=jnp.asarray(bias),
+    return tracer.make_trace_scene_arrays(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(valid), jnp.asarray(alpha),
+        jnp.asarray(no_cull), jnp.asarray(bias), n_tris,
     ), (v0, v1, v2, alpha)
 
 
@@ -101,12 +101,11 @@ def test_depth_bias_reorders_coplanar():
     v0 = np.array([[-1, -1, 5], [-1, -1, 5]], np.float32)
     v1 = np.array([[3, -1, 5], [3, -1, 5]], np.float32)
     v2 = np.array([[-1, 3, 5], [-1, 3, 5]], np.float32)
-    scene = tracer.TraceScene(
-        v0=jnp.asarray(v0), v1=jnp.asarray(v1), v2=jnp.asarray(v2),
-        valid=jnp.asarray([True, True]),
-        alpha=jnp.asarray([True, True]),
-        no_cull=jnp.asarray([True, True]),
-        bias=jnp.asarray([0.0, 1.0], dtype=jnp.float32),
+    scene = tracer.make_trace_scene_arrays(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray([True, True]), jnp.asarray([True, True]),
+        jnp.asarray([True, True]),
+        jnp.asarray([0.0, 1.0], dtype=jnp.float32), 2,
     )
     orig = jnp.asarray([[0.0, 0.0, 0.0]])
     dirs = jnp.asarray([[0.0, 0.0, 1.0]])
@@ -127,10 +126,10 @@ def test_backface_culling_flag():
     v0 = np.array([[-1, -1, 5]], np.float32)
     v1 = np.array([[3, -1, 5]], np.float32)
     v2 = np.array([[-1, 3, 5]], np.float32)
-    mk = lambda nc: tracer.TraceScene(
-        v0=jnp.asarray(v0), v1=jnp.asarray(v1), v2=jnp.asarray(v2),
-        valid=jnp.asarray([True]), alpha=jnp.asarray([False]),
-        no_cull=jnp.asarray([nc]), bias=jnp.asarray([0.0], dtype=jnp.float32),
+    mk = lambda nc: tracer.make_trace_scene_arrays(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray([True]), jnp.asarray([False]),
+        jnp.asarray([nc]), jnp.asarray([0.0], dtype=jnp.float32), 1,
     )
     orig = jnp.asarray([[0.0, 0.0, 0.0]])
     dirs = jnp.asarray([[0.0, 0.0, 1.0]])
