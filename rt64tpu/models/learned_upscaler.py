@@ -1,0 +1,85 @@
+"""Learned upscaler — the DLSS/XeSS slot (rt64_dlss.cpp / rt64_xess.cpp).
+
+A compact Flax CNN consuming the same inputs the reference feeds NGX
+(color, depth, flow, reactive mask, rt64_dlss.cpp:193-227): it predicts
+a residual over the bilinear upscale, so even untrained parameters are
+usable (identity-ish start). Convolutions run on the MXU in bf16.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rt64tpu.ops import filters
+
+_PARAMS_CACHE = os.path.join(os.path.dirname(__file__), "_upscaler_params.npz")
+
+
+class UpscaleNet(nn.Module):
+    """Residual predictor over bilinear upscaling.
+
+    Inputs at display resolution: upscaled color (3), depth (1), flow
+    (2), reactive (1). Output: rgb residual.
+    """
+
+    features: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # x: (H, W, 7)
+        h = nn.Conv(self.features, (3, 3), dtype=jnp.bfloat16)(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), dtype=jnp.bfloat16)(h)
+        h = nn.relu(h)
+        h = nn.Conv(3, (3, 3), dtype=jnp.bfloat16,
+                    kernel_init=nn.initializers.zeros)(h)
+        return h.astype(jnp.float32)
+
+
+_model = UpscaleNet()
+_params = None
+
+
+def get_params():
+    global _params
+    if _params is None:
+        if os.path.exists(_PARAMS_CACHE):
+            flat = dict(np.load(_PARAMS_CACHE))
+            _params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(
+                    _model.init(jax.random.PRNGKey(0), jnp.zeros((8, 8, 7)))
+                ),
+                [jnp.asarray(flat[k]) for k in sorted(flat)],
+            )
+        else:
+            _params = _model.init(jax.random.PRNGKey(0), jnp.zeros((8, 8, 7)))
+    return _params
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _run(params, rt_color, depth, flow, reactive, dh: int, dw: int):
+    up = filters.bilinear_resize(rt_color, dh, dw)
+    depth_d = filters.bilinear_resize(depth[None], dh, dw)
+    flow_d = filters.bilinear_resize(flow, dh, dw)
+    reactive_d = filters.bilinear_resize(reactive[None], dh, dw)
+    x = jnp.concatenate([up, depth_d, flow_d, reactive_d], axis=0)
+    x = jnp.moveaxis(x, 0, -1)  # conv wants HWC
+    residual = _model.apply(params, x)
+    return up + jnp.moveaxis(residual, -1, 0)
+
+
+def upscale(frame_out, cfg):
+    h, w = cfg.rt_height, cfg.rt_width
+    return _run(
+        get_params(),
+        frame_out.rt_output,
+        frame_out.gbuffers.depth.reshape(h, w),
+        frame_out.gbuffers.flow.reshape(2, h, w),
+        frame_out.gbuffers.reactive.reshape(h, w),
+        cfg.display_height, cfg.display_width,
+    )

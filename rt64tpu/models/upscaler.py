@@ -1,31 +1,29 @@
-"""Upscaler interface + implementations.
+"""Upscaler slot: quality policy, temporal (FSR2-style) and learned.
 
-Replaces the Upscaler plugin slot (rt64_upscaler.h:43-50) and its three
-vendor backends (rt64_dlss.cpp, rt64_fsr.cpp, rt64_xess.cpp):
+Replaces the Upscaler plugin interface (rt64_upscaler.h:43-50) and its
+three vendor backends (rt64_dlss.cpp, rt64_fsr.cpp, rt64_xess.cpp):
 
   * quality -> resolution policy (getQualityAuto, rt64_upscaler.cpp:11-36,
     plus FSR's forced UltraQuality=77% / Native, rt64_fsr.cpp:98-126)
-  * jitter phase count (ffxFsr2GetJitterPhaseCount's 8*(disp/render)^2)
-  * BILINEAR: the non-upscaled final blit
-  * TEMPORAL: a hand-written FSR2-style temporal upscaler in pure JAX
-    consuming the same inputs (color, flow, reactive/lock masks, depth,
-    jitter) — see pipeline/framegraph for the stateless entry and
-    TemporalUpscaler for the history-carrying variant
+  * jitter phase count (ffxFsr2GetJitterPhaseCount's 8*(disp/render)^2;
+    DLSS/XeSS report 64 phases, rt64_dlss.cpp:189-191)
+  * TEMPORAL: a hand-written FSR2-style temporal accumulator in pure
+    JAX consuming the same inputs the reference feeds FSR2 (color,
+    flow, reactive/lock masks, jitter) — the UPSCALER_FSR slot
   * LEARNED: a Flax CNN in the DLSS/XeSS slot (models/learned_upscaler)
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from rt64tpu import descriptors as d
 from rt64tpu.ops import filters
 
-# QualityMode -> render scale (DLSS/XeSS-style ratios; FSR forces
-# UltraQuality=77% and Native=100%, rt64_fsr.cpp:104-112).
 QUALITY_SCALE = {
     d.UPSCALER_MODE_ULTRA_PERFORMANCE: 1.0 / 3.0,
     d.UPSCALER_MODE_PERFORMANCE: 1.0 / 2.0,
@@ -59,66 +57,88 @@ def quality_resolution(quality: int, display_width: int, display_height: int):
 
 
 def jitter_phase_count(render_width: int, display_width: int) -> int:
-    """ffxFsr2GetJitterPhaseCount: ceil(8 * (display/render)^2); DLSS and
-    XeSS report 64 phases (rt64_dlss.cpp:189-191)."""
+    """ffxFsr2GetJitterPhaseCount: ceil(8 * (display/render)^2)."""
     ratio = display_width / max(render_width, 1)
     return max(1, int(math.ceil(8.0 * ratio * ratio)))
 
 
-def run_upscaler(cfg, gp, color, flow, reactive, lock, depth):
-    """Stateless upscale used inside render_frame. Temporal/learned
-    upscalers carry their own history outside the frame function; the
-    in-frame slot upscales spatially (Lanczos-ish via bilinear for now)
-    and the ViewRenderer applies the temporal accumulation stage."""
-    return filters.bilinear_resize(color, cfg.display_height, cfg.display_width)
+@partial(jax.jit, static_argnums=(6, 7))
+def temporal_accumulate(
+    history_color,  # (3, DH, DW) previous output
+    rt_color,  # (3, H, W) current render-res frame
+    flow,  # (2, H, W) motion in render pixels
+    reactive,  # (H, W)
+    lock,  # (H, W)
+    reset,  # () bool — resetAccumulation (rt64_upscaler.h:40)
+    dh: int,
+    dw: int,
+):
+    """FSR2-style temporal upscale: reproject history via flow, rectify
+    against the current frame's 3x3 neighborhood (anti-ghosting), blend
+    with a reactive-driven alpha; the lock mask marks thin features
+    that trust unclamped history (the transparency-and-composition mask
+    fed to FSR2 at rt64_fsr.cpp:132-166)."""
+    h, w = rt_color.shape[1], rt_color.shape[2]
+    upscaled = filters.bilinear_resize(rt_color, dh, dw)
+    flow_d = filters.bilinear_resize(flow, dh, dw)
+    reactive_d = filters.bilinear_resize(reactive[None], dh, dw)[0]
+    lock_d = filters.bilinear_resize(lock[None], dh, dw)[0]
+
+    yy = (jnp.arange(dh, dtype=jnp.float32) + 0.5) / dh
+    xx = (jnp.arange(dw, dtype=jnp.float32) + 0.5) / dw
+    su = jnp.broadcast_to(xx[None, :], (dh, dw))
+    sv = jnp.broadcast_to(yy[:, None], (dh, dw))
+    # Flow is in render pixels; convert to uv.
+    pu = su + flow_d[0] / w
+    pv = sv + flow_d[1] / h
+    oob = (pu < 0.0) | (pu > 1.0) | (pv < 0.0) | (pv > 1.0)
+    reprojected = filters.bilinear_planar(
+        history_color, jnp.clip(pu, 0.0, 1.0).reshape(-1),
+        jnp.clip(pv, 0.0, 1.0).reshape(-1),
+    ).reshape(3, dh, dw)
+
+    # 3x3 neighborhood clamp of the upscaled current frame.
+    pad = jnp.pad(upscaled, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    lo = upscaled
+    hi = upscaled
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nb = pad[:, 1 + dy : dh + 1 + dy, 1 + dx : dw + 1 + dx]
+            lo = jnp.minimum(lo, nb)
+            hi = jnp.maximum(hi, nb)
+    clamped = jnp.clip(reprojected, lo, hi)
+    hist = clamped * (1.0 - lock_d)[None] + reprojected * lock_d[None]
+    alpha = jnp.clip(0.1 + reactive_d * 0.8, 0.1, 0.9)[None]
+    alpha = jnp.where(oob[None] | reset, 1.0, alpha)
+    return hist * (1.0 - alpha) + upscaled * alpha
 
 
-class TemporalUpscaler:
-    """FSR2-style temporal upscaler state (history color at display res).
+def temporal_upscale_step(temporal_history, frame_out, cfg):
+    """Drive temporal_accumulate from FrameOutputs; returns
+    (display image, new history)."""
+    h, w = cfg.rt_height, cfg.rt_width
+    dh, dw = cfg.display_height, cfg.display_width
+    reset = temporal_history is None
+    hist = (
+        temporal_history
+        if temporal_history is not None
+        else jnp.zeros((3, dh, dw), jnp.float32)
+    )
+    out = temporal_accumulate(
+        hist,
+        frame_out.rt_output,
+        frame_out.gbuffers.flow.reshape(2, h, w),
+        frame_out.gbuffers.reactive.reshape(h, w),
+        frame_out.gbuffers.lock.reshape(h, w),
+        jnp.bool_(reset),
+        dh, dw,
+    )
+    return out, out
 
-    accumulate() is a pure function suitable for jit: reproject history
-    via flow, rectify against the current frame's neighborhood
-    (clamping ghosting), blend with a reactive-driven alpha, honoring
-    the lock mask as a "trust history" signal.
-    """
 
-    @staticmethod
-    def accumulate(
-        history_color,  # (DH, DW, 3) previous output
-        upscaled,  # (DH, DW, 3) current frame bilinearly upscaled
-        flow_display,  # (DH, DW, 2) motion in render pixels
-        reactive,  # (DH, DW)
-        lock,  # (DH, DW)
-        render_wh,  # (2,) render resolution
-        reset,  # () bool — resetAccumulation (rt64_upscaler.h:40)
-    ):
-        dh, dw = upscaled.shape[0], upscaled.shape[1]
-        yy = jnp.arange(dh, dtype=jnp.float32)[:, None]
-        xx = jnp.arange(dw, dtype=jnp.float32)[None, :]
-        uv = jnp.stack(
-            [jnp.broadcast_to((xx + 0.5) / dw, (dh, dw)),
-             jnp.broadcast_to((yy + 0.5) / dh, (dh, dw))],
-            axis=-1,
-        )
-        # Flow is in render-resolution pixels; convert to uv.
-        prev_uv = uv + flow_display / render_wh
-        reprojected = filters._bilinear(history_color, jnp.clip(prev_uv, 0.0, 1.0))
-        oob = (
-            (prev_uv[..., 0] < 0.0) | (prev_uv[..., 0] > 1.0)
-            | (prev_uv[..., 1] < 0.0) | (prev_uv[..., 1] > 1.0)
-        )
-        # Neighborhood clamp (3x3 min/max of the current frame).
-        pad = jnp.pad(upscaled, ((1, 1), (1, 1), (0, 0)), mode="edge")
-        lo = upscaled
-        hi = upscaled
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                nb = pad[1 + dy : dh + 1 + dy, 1 + dx : dw + 1 + dx]
-                lo = jnp.minimum(lo, nb)
-                hi = jnp.maximum(hi, nb)
-        clamped = jnp.clip(reprojected, lo, hi)
-        # Locked pixels trust unclamped history (thin features).
-        hist = clamped * (1.0 - lock[..., None]) + reprojected * lock[..., None]
-        alpha = jnp.clip(0.1 + reactive[..., None] * 0.8, 0.1, 0.9)
-        alpha = jnp.where(oob[..., None] | reset, 1.0, alpha)
-        return hist * (1.0 - alpha) + upscaled * alpha
+def learned_upscale(frame_out, cfg):
+    """DLSS/XeSS slot: learned CNN upscaler; falls back to the temporal
+    path when no trained parameters are loaded."""
+    from rt64tpu.models import learned_upscaler
+
+    return learned_upscaler.upscale(frame_out, cfg)

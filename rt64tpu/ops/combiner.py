@@ -101,146 +101,23 @@ def decode_combiner(shader_id: int) -> CombinerParams:
     )
 
 
-def _take(table, idx):
-    """Gather rows: table (..., 8, C), idx (...,) -> (..., C)."""
-    return jnp.take_along_axis(
-        table, idx[..., None, None].astype(jnp.int32), axis=-2
-    ).squeeze(-2)
-
-
-def _take1(table, idx):
-    """Gather scalars: table (..., 8), idx (...,) -> (...,)."""
-    return jnp.take_along_axis(table, idx[..., None].astype(jnp.int32), axis=-1).squeeze(-1)
-
-
 def combiner_eval(params, inputs, tex0, tex1):
-    """Evaluate the combiner for a batch of shading points.
-
-    Args:
-      params: (..., PARAMS_WIDTH) int32 packed combiner parameters.
-      inputs: (..., 4, 4) per-vertex input colors 1..4, rgba. When the
-        shader has !opt_alpha the loader must supply alpha=1 (matching
-        the float3->float4 extension at rt64_shader.cpp:198).
-      tex0: (..., 4) sampled diffuse texel.
-      tex1: (..., 4) sampled second texel (reference stubs it to
-        magenta, rt64_shader.cpp:484-487).
-
-    Returns:
-      (..., 4) result color, pre solid-alpha-multiplier.
-    """
-    c = params[..., 0:8]
-    opt_alpha = params[..., 8] != 0
-    color_alpha_same = params[..., 11] != 0
-
-    zero = jnp.zeros_like(tex0[..., 0])
-    one = jnp.ones_like(zero)
-
-    # RGB candidate table, identical for all operand variants
-    # (rgb of colorInput never depends on with_alpha, rt64_shader.cpp:228-258).
-    t0a_rgb = jnp.broadcast_to(tex0[..., 3:4], tex0[..., :3].shape)
-    rgb_table = jnp.stack(
-        [
-            jnp.zeros_like(tex0[..., :3]),
-            inputs[..., 0, :3],
-            inputs[..., 1, :3],
-            inputs[..., 2, :3],
-            inputs[..., 3, :3],
-            tex0[..., :3],
-            t0a_rgb,
-            tex1[..., :3],
-        ],
-        axis=-2,
+    """Batch-of-vectors wrapper over combiner_eval_planar (for tests and
+    AoS callers). params: (..., PARAMS_WIDTH) int32; inputs (..., 4, 4);
+    tex0/tex1 (..., 4). Returns (..., 4)."""
+    shape = tex0.shape[:-1]
+    flat = lambda a: a.reshape((-1,) + a.shape[len(shape):])
+    p = flat(params)
+    cc_items = jnp.concatenate([p[:, 0:4], p[:, 4:8]], axis=1).T  # (8, N)
+    iv = flat(inputs)
+    out = combiner_eval_planar(
+        cc_items,
+        p[:, 8] != 0,
+        p[:, 11] != 0,
+        iv[:, 0].T, iv[:, 1].T, iv[:, 2].T, iv[:, 3].T,
+        flat(tex0).T, flat(tex1).T,
     )
-    # Alpha candidate table with with_alpha=True (== alphaInput,
-    # rt64_shader.cpp:275-295, except slot 0 which alphaInput also maps to 0).
-    a_full = jnp.stack(
-        [
-            zero,
-            inputs[..., 0, 3],
-            inputs[..., 1, 3],
-            inputs[..., 2, 3],
-            inputs[..., 3, 3],
-            tex0[..., 3],
-            tex0[..., 3],
-            tex1[..., 3],
-        ],
-        axis=-1,
-    )
-    # c-operand alpha table with with_alpha=False: forced 1 except
-    # TEXEL0A which keeps tex alpha (hint_single_element path).
-    a_copq = jnp.stack(
-        [one, one, one, one, one, one, tex0[..., 3], one], axis=-1
-    )
-
-    def cycle(items):
-        i0, i1, i2, i3 = (items[..., k] for k in range(4))
-        do_single = i2 == SHADER_0
-        do_multiply = (i1 == SHADER_0) & (i3 == SHADER_0)
-        do_mix = i1 == i3
-        a_rgb = _take(rgb_table, i0)
-        b_rgb = _take(rgb_table, i1)
-        c_rgb = _take(rgb_table, i2)
-        d_rgb = _take(rgb_table, i3)
-        c_r = c_rgb[..., 0:1]
-        # Unified rgb: fast paths use componentwise c, general uses c.r
-        # (rt64_shader.cpp:260-273). do_mix implies d == b.
-        ccm = jnp.where(
-            do_single[..., None],
-            jnp.zeros_like(c_rgb),
-            jnp.where((do_multiply | do_mix)[..., None], c_rgb, c_r),
-        )
-        rgb = (a_rgb - b_rgb) * ccm + jnp.where(
-            do_multiply[..., None], jnp.zeros_like(d_rgb), d_rgb
-        )
-        return rgb, (do_single, do_multiply, do_mix, c_r[..., 0])
-
-    def scalar_formula(items, table_a, table_c, gen_mul):
-        """alphaFormula / alpha channel of colorFormula (scalar ops)."""
-        i0, i1, i2, i3 = (items[..., k] for k in range(4))
-        do_single = i2 == SHADER_0
-        do_multiply = (i1 == SHADER_0) & (i3 == SHADER_0)
-        do_mix = i1 == i3
-        a = _take1(table_a, i0)
-        b = _take1(table_a, i1)
-        cc = _take1(table_c, i2)
-        d = _take1(table_a, i3)
-        general = (a - b) * gen_mul(items) + d
-        return jnp.where(
-            do_single,
-            d,
-            jnp.where(do_multiply, a * cc, jnp.where(do_mix, b + (a - b) * cc, general)),
-        )
-
-    color_items = c[..., 0:4]
-    alpha_items = c[..., 4:8]
-
-    rgb, (_, _, _, c_red) = cycle(color_items)
-
-    # c.r of the color cycle's c operand feeds the general path's alpha
-    # when the vector formula is used (with_alpha=True composition).
-    def color_gen_mul(items):
-        return c_red
-
-    # Alpha via the full-alpha table (with_alpha=True vector semantics).
-    alpha_wa = scalar_formula(color_items, a_full, a_full, color_gen_mul)
-    # Alpha of colorFormula(with_alpha=False): 1 except multiply by a
-    # TEXEL0A c-operand (all other paths collapse to 1).
-    i1c, i2c, i3c = color_items[..., 1], color_items[..., 2], color_items[..., 3]
-    mult_mask = (i1c == SHADER_0) & (i3c == SHADER_0) & (i2c != SHADER_0)
-    alpha_noa = jnp.where(mult_mask, _take1(a_copq, i2c), one)
-    # Dedicated alphaFormula over the alpha cycle (rt64_shader.cpp:297-310):
-    # scalar all the way; general multiplier is the c alpha itself.
-    alpha_cycle = scalar_formula(
-        alpha_items, a_full, a_full, lambda items: _take1(a_full, items[..., 2])
-    )
-
-    # Composition (rt64_shader.cpp:489-494).
-    alpha = jnp.where(
-        opt_alpha & ~color_alpha_same,
-        alpha_cycle,
-        jnp.where(opt_alpha, alpha_wa, alpha_noa),
-    )
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    return out.T.reshape(shape + (4,))
 
 
 def combiner_eval_np(params_row: np.ndarray, inputs, tex0, tex1):
@@ -252,3 +129,95 @@ def combiner_eval_np(params_row: np.ndarray, inputs, tex0, tex1):
         jnp.asarray(tex1, jnp.float32)[None],
     )
     return np.asarray(out)[0]
+
+
+def _select8(ids, planes):
+    """8-way masked select: Σ_k (ids == k) * planes[k].
+
+    planes: list of 8 arrays broadcastable to ids' shape. Replaces a
+    gather with vector compares — the TPU-friendly form for the
+    combiner's 3-bit operand slots.
+    """
+    out = None
+    for k in range(8):
+        term = jnp.where(ids == k, planes[k], 0.0)
+        out = term if out is None else out + term
+    return out
+
+
+def combiner_eval_planar(cc_items, opt_alpha, color_alpha_same,
+                         in1, in2, in3, in4, tex0, tex1):
+    """Planar combiner interpreter: all arrays are channel-planes.
+
+    cc_items: (8, N) int32 — color cycle items then alpha cycle items
+      (rows.unpack_cc output transposed).
+    opt_alpha / color_alpha_same: (N,) bool.
+    in1..in4, tex0, tex1: (4, N) rgba planes (missing vertex inputs are
+      zeros with alpha 1, matching the float3->float4 extension).
+
+    Returns (4, N). Same math as combiner_eval (rt64_shader.cpp:260-310,
+    489-494) in the TPU-friendly layout.
+    """
+    zero = jnp.zeros_like(tex0[0])
+    one = jnp.ones_like(zero)
+    t0a = tex0[3]
+
+    rgb_planes = [
+        [zero, in1[c], in2[c], in3[c], in4[c], tex0[c], t0a, tex1[c]]
+        for c in range(3)
+    ]
+    # with_alpha=True alpha table (== alphaInput, rt64_shader.cpp:275-295).
+    a_full = [zero, in1[3], in2[3], in3[3], in4[3], tex0[3], t0a, tex1[3]]
+    # c-operand with_alpha=False table: 1 except TEXEL0A (hint path).
+    a_copq = [one, one, one, one, one, one, t0a, one]
+
+    i0, i1, i2, i3 = cc_items[0], cc_items[1], cc_items[2], cc_items[3]
+    do_single = i2 == SHADER_0
+    do_multiply = (i1 == SHADER_0) & (i3 == SHADER_0)
+    do_mix = i1 == i3
+    comp_c = do_multiply | do_mix
+
+    def pick_rgb(ids):
+        return jnp.stack([_select8(ids, rgb_planes[c]) for c in range(3)], 0)
+
+    a_rgb = pick_rgb(i0)
+    b_rgb = pick_rgb(i1)
+    c_rgb = pick_rgb(i2)
+    d_rgb = pick_rgb(i3)
+    c_r = c_rgb[0]
+    ccm = jnp.where(
+        do_single[None], 0.0, jnp.where(comp_c[None], c_rgb, c_r[None])
+    )
+    rgb = (a_rgb - b_rgb) * ccm + jnp.where(do_multiply[None], 0.0, d_rgb)
+
+    def scalar_formula(j0, j1, j2, j3, gen_mul):
+        s_single = j2 == SHADER_0
+        s_mult = (j1 == SHADER_0) & (j3 == SHADER_0)
+        s_mix = j1 == j3
+        a = _select8(j0, a_full)
+        b = _select8(j1, a_full)
+        cc = _select8(j2, a_full)
+        dd = _select8(j3, a_full)
+        general = (a - b) * gen_mul + dd
+        return jnp.where(
+            s_single, dd,
+            jnp.where(s_mult, a * cc, jnp.where(s_mix, b + (a - b) * cc, general)),
+        )
+
+    # Alpha of the vector formula (with_alpha=True): general path uses
+    # the color c-operand's red channel.
+    alpha_wa = scalar_formula(i0, i1, i2, i3, c_r)
+    # Alpha of colorFormula(with_alpha=False): 1 except multiply by a
+    # TEXEL0A c-operand.
+    mult_mask = (i1 == SHADER_0) & (i3 == SHADER_0) & (i2 != SHADER_0)
+    alpha_noa = jnp.where(mult_mask, _select8(i2, a_copq), one)
+    # Dedicated alphaFormula over the alpha cycle.
+    j0, j1, j2, j3 = cc_items[4], cc_items[5], cc_items[6], cc_items[7]
+    alpha_cycle = scalar_formula(j0, j1, j2, j3, _select8(j2, a_full))
+
+    alpha = jnp.where(
+        opt_alpha & ~color_alpha_same,
+        alpha_cycle,
+        jnp.where(opt_alpha, alpha_wa, alpha_noa),
+    )
+    return jnp.concatenate([rgb, alpha[None]], axis=0)

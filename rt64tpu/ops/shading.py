@@ -1,15 +1,16 @@
-"""Batched hit shading — the reference's any-hit work, wavefront style.
+"""Batched hit shading over gathered triangle rows — planar layout.
 
 The DXR surface any-hit emitted at rt64_shader.cpp:444-592 interpolates
-vertex data, samples textures with ray-differential gradients, runs the
-color combiner, applies material mixes/alpha rules, perturbs normals,
-and records flow. Here, the same math runs as ONE vectorized pass over
-every collected hit of every ray: (N rays) x (K+1 hit slots). Invalid
-slots (tri < 0) are masked; all gathers are XLA-native.
+vertex data, samples textures, runs the color combiner, applies
+material/alpha rules, perturbs normals, and records motion flow. Here
+the same math runs as ONE pass over every collected hit: a single wide
+row gather per hit (pipeline/rows.py) followed by pure planar vector
+ops. The shadow variant implements the shadow any-hit rules
+(rt64_shader.cpp:594-674).
 
 Mipmaps are disabled in the reference (rt64_device.cpp:758-762), so
-SampleGrad == bilinear and ray differentials are not needed for
-sampling; we keep the Igehy machinery out of the hot path entirely.
+SampleGrad degenerates to bilinear and the Igehy ray differentials stay
+out of the hot path.
 """
 
 from __future__ import annotations
@@ -20,226 +21,293 @@ import jax
 import jax.numpy as jnp
 
 from rt64tpu.ops import texture as tex_ops
-from rt64tpu.ops import random as rnd
-from rt64tpu.ops.combiner import combiner_eval
-from rt64tpu.pipeline import scene_buffers as sbuf
-
-
-class WorldGeometry(NamedTuple):
-    """Per-frame world-space vertex data (computed once, reused by all
-    trace passes). The TLAS-refit product."""
-
-    world_pos: jax.Array  # (V, 3)
-    world_nrm: jax.Array  # (V, 3)
+from rt64tpu.ops import vecmath as vm
+from rt64tpu.ops.combiner import combiner_eval_planar
+from rt64tpu.pipeline import rows as R
 
 
 class HitShade(NamedTuple):
-    color: jax.Array  # (..., 4) combiner result after material rules
-    normal: jax.Array  # (..., 3) world shading normal (faces the ray)
-    specular: jax.Array  # (..., 3) vertexSpecular (map or 1)
-    flow: jax.Array  # (..., 3) world-space motion (cur - prev)
-    instance: jax.Array  # (...,) int32, -1 for empty slots
+    color: jax.Array  # (4, M) combiner rgba after material rules
+    normal: jax.Array  # (3, M) world shading normal (faces the ray)
+    specular: jax.Array  # (3, M) vertexSpecular (map or 1)
+    flow: jax.Array  # (3, M) world-space motion (cur - prev)
+    instance: jax.Array  # (M,) int32, -1 for empty slots
+    rows_t: jax.Array  # (TROW, M) the gathered rows (for extra columns)
+
+
+def interp3(gt, base, w0, u, v):
+    """Barycentric interp of a 3-corner scalar triplet at row offsets
+    base, base+step... for corner-major layouts see call sites."""
+    return gt[base] * w0 + gt[base + 1] * u + gt[base + 2] * v
 
 
 def shade_hits(
-    sb: sbuf.SceneBuffers,
-    world: WorldGeometry,
-    ray_dirs,  # (..., 3) (broadcastable over hit slots)
-    tri,  # (...,) int32 triangle ids (-1 empty)
-    bary_uv,  # (..., 2)
-    noise_rand,  # (...,) per-pixel random in [0,1) for opt_noise
+    sb,
+    tri_rows,  # (T, TROW) packed triangle rows
+    ray_dir,  # (3, M) ray directions (per hit point)
+    tri,  # (M,) int32 triangle ids (-1 empty)
+    bary_u,  # (M,)
+    bary_v,  # (M,)
+    noise_rand,  # (M,) per-pixel random for opt_noise
     shadow_variant: bool = False,
 ) -> HitShade:
-    """Shade a batch of hits.
-
-    shadow_variant selects the shadow any-hit rules
-    (rt64_shader.cpp:594-674): shadowAlphaMultiplier instead of
-    solidAlphaMultiplier, no diffuseColorMix, no normal/specular maps.
-    """
     valid = tri >= 0
     tri_s = jnp.maximum(tri, 0)
-    idx3 = sb.tri_idx[tri_s]  # (..., 3)
-    inst = sb.tri_instance[tri_s]  # (...,)
+    gt = tri_rows[tri_s].T  # (TROW, M) — THE gather
 
-    u = bary_uv[..., 0]
-    v = bary_uv[..., 1]
+    u = bary_u
+    v = bary_v
     w0 = 1.0 - u - v
-    bary = jnp.stack([w0, u, v], axis=-1)[..., None]  # (..., 3, 1)
 
-    # --- vertex gathers -------------------------------------------------
-    p_obj = (sb.pos[idx3] * bary).sum(-2)  # (..., 3) object-space position
-    n_world3 = world.world_nrm[idx3]  # (..., 3, 3)
-    n_interp = (n_world3 * bary).sum(-2)
-    pw3 = world.world_pos[idx3]  # (..., 3, 3) world corners
-    uv3 = sb.uv[idx3]  # (..., 3, 2)
-    uv = (uv3 * bary).sum(-2)
-    inputs3 = sb.inputs[idx3]  # (..., 3, 4, 4)
-    inputs = (inputs3 * bary[..., None]).sum(-3)  # (..., 4, 4)
+    def corner(base, k):
+        return gt[base + 3 * k : base + 3 * k + 3] if False else None
 
-    # Geometric normal: -cross(p2-p0, p1-p0) = cross(e1, e2)
-    # (rt64_shader.cpp:176), in world space.
-    e1 = pw3[..., 1, :] - pw3[..., 0, :]
-    e2 = pw3[..., 2, :] - pw3[..., 0, :]
-    tri_nrm = jnp.cross(e1, e2)
+    p0 = gt[R.T_P0 : R.T_P0 + 3]
+    p1 = gt[R.T_P1 : R.T_P1 + 3]
+    p2 = gt[R.T_P2 : R.T_P2 + 3]
+    n0 = gt[R.T_N0 : R.T_N0 + 3]
+    n1 = gt[R.T_N1 : R.T_N1 + 3]
+    n2 = gt[R.T_N2 : R.T_N2 + 3]
+
+    pos = p0 * w0 + p1 * u + p2 * v  # world hit position (interp)
+    n_interp = n0 * w0 + n1 * u + n2 * v
+    uv_u = gt[R.T_UV] * w0 + gt[R.T_UV + 2] * u + gt[R.T_UV + 4] * v
+    uv_v = gt[R.T_UV + 1] * w0 + gt[R.T_UV + 3] * u + gt[R.T_UV + 5] * v
+
+    def interp_rgba(base):
+        return jnp.stack(
+            [
+                gt[base + c] * w0 + gt[base + 4 + c] * u + gt[base + 8 + c] * v
+                for c in range(4)
+            ],
+            axis=0,
+        )
+
+    in1 = interp_rgba(R.T_IN1)
+    in2 = interp_rgba(R.T_IN2)
+    zero4 = jnp.stack([jnp.zeros_like(u)] * 3 + [jnp.ones_like(u)], 0)
+
+    # Geometric normal -cross(p2-p0, p1-p0) = cross(e1, e2)
+    # (rt64_shader.cpp:176), world space.
+    e1 = p1 - p0
+    e2 = p2 - p0
+    tri_nrm = vm.cross(e1, e2)
 
     # Vertex normal with face-normal fallback (rt64_shader.cpp:177).
-    interp_zero = jnp.all(n_interp == 0.0, axis=-1, keepdims=True)
-    normal = jnp.where(interp_zero, tri_nrm, n_interp)
-    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    interp_zero = jnp.all(n_interp == 0.0, axis=0)
+    normal = jnp.where(interp_zero[None], tri_nrm, n_interp)
+    normal = vm.normalize(normal)
     normal_preflip = normal
+    normal_sign = jnp.where(vm.dot(tri_nrm, ray_dir) <= 0.0, 1.0, -1.0)
+    normal = normal * normal_sign[None]
 
-    # Face the ray (rt64_shader.cpp:519-520).
-    normal_sign = jnp.where(jnp.sum(tri_nrm * ray_dirs, axis=-1) <= 0.0, 1.0, -1.0)
-    normal = normal * normal_sign[..., None]
+    # --- flags / sampler / combiner ---------------------------------------
+    flags = gt[R.T_FLAGS].astype(jnp.int32)
+    fl = lambda bit: (flags & bit) != 0
+    sampler = gt[R.T_SAMPLER].astype(jnp.int32)
+    filt = (sampler & 3) == 1
+    h_addr = (sampler >> 2) & 3
+    v_addr = (sampler >> 4) & 3
+    cc_items = R.unpack_cc(gt[R.T_CC], jnp).T  # (8, M)
+    mat = lambda off: gt[R.T_MAT + off]
 
-    # --- material / combiner gathers --------------------------------------
-    mat_f = sb.mat_f[inst]
-    mat_i = sb.mat_i[inst]
-    params = sb.combiner[inst]
-    filt = mat_i[..., sbuf.II_FILTER] == 1
-    h_addr = mat_i[..., sbuf.II_H_ADDR]
-    v_addr = mat_i[..., sbuf.II_V_ADDR]
-
-    use_t0 = params[..., 13] != 0
-    diffuse_tex = jnp.where(use_t0 & valid, mat_i[..., sbuf.II_DIFFUSE_TEX], -1)
-    tex0 = tex_ops.sample(sb.tex_pool, sb.tex_records, diffuse_tex, uv, filt, h_addr, v_addr)
-    mix = mat_f[..., sbuf.MAT_DIFFUSE_MIX_R : sbuf.MAT_DIFFUSE_MIX_R + 4]
+    use_t0 = fl(R.F_USE_T0)
+    rec_d = jnp.where(use_t0 & valid, gt[R.T_TEX_D].astype(jnp.int32), -1)
+    tex0 = tex_ops.sample_quad(
+        sb.quad_pool, sb.quad_records, rec_d, uv_u, uv_v, filt, h_addr, v_addr
+    )
+    mix_r = mat(R.M_DIFFUSE_MIX)
+    mix_g = mat(R.M_DIFFUSE_MIX + 1)
+    mix_b = mat(R.M_DIFFUSE_MIX + 2)
+    mix_a = mat(R.M_DIFFUSE_MIX + 3)
     if not shadow_variant:
         # Negative mix applies before the combiner (rt64_shader.cpp:481).
-        neg = jnp.maximum(-mix[..., 3:4], 0.0)
-        tex0 = tex0.at[..., :3].set(
-            tex0[..., :3] * (1.0 - neg) + mix[..., :3] * neg
+        neg = jnp.maximum(-mix_a, 0.0)
+        mix_rgb = jnp.stack([mix_r, mix_g, mix_b], 0)
+        tex0 = jnp.concatenate(
+            [tex0[:3] * (1.0 - neg)[None] + mix_rgb * neg[None], tex0[3:4]], 0
         )
-    tex1 = jnp.broadcast_to(
-        jnp.asarray([1.0, 0.0, 1.0, 1.0], tex0.dtype), tex0.shape
-    )  # TEXEL1 stub (rt64_shader.cpp:484-487)
+    # TEXEL1 stub (rt64_shader.cpp:484-487).
+    tex1 = jnp.stack(
+        [jnp.ones_like(u), jnp.zeros_like(u), jnp.ones_like(u), jnp.ones_like(u)], 0
+    )
 
-    color = combiner_eval(params, inputs, tex0, tex1)
+    color = combiner_eval_planar(
+        cc_items, fl(R.F_OPT_ALPHA), fl(R.F_ALPHA_SAME),
+        in1, in2, zero4, zero4, tex0, tex1,
+    )
 
-    opt_texture_edge = params[..., 9] != 0
-    opt_noise = params[..., 10] != 0
+    opt_edge = fl(R.F_TEXTURE_EDGE)
+    opt_noise = fl(R.F_NOISE)
 
     if shadow_variant:
-        # Shadow alpha rules (rt64_shader.cpp:611-662): opaque combiner
-        # (no opt_alpha) forces full occlusion.
-        opt_alpha = params[..., 8] != 0
-        alpha = jnp.where(opt_alpha, color[..., 3], 1.0)
-        alpha = jnp.clip(alpha * mat_f[..., sbuf.MAT_SHADOW_ALPHA_MULT], 0.0, 1.0)
-        alpha = jnp.where(opt_alpha, alpha, 1.0)
+        # Shadow any-hit rules (rt64_shader.cpp:611-662): only opt_alpha
+        # combiners attenuate; everything else fully occludes.
+        opt_alpha = fl(R.F_OPT_ALPHA)
+        alpha = jnp.clip(color[3] * mat(R.M_SHADOW_ALPHA), 0.0, 1.0)
         alpha = jnp.where(
-            opt_texture_edge & opt_alpha,
-            jnp.where(alpha > 0.3, 1.0, 0.0),
-            alpha,
+            opt_edge, jnp.where(alpha > 0.3, 1.0, 0.0), alpha
         )
-        alpha = jnp.where(opt_noise & opt_alpha, alpha * jnp.round(noise_rand), alpha)
-        color = jnp.concatenate([color[..., :3], alpha[..., None]], axis=-1)
+        alpha = jnp.where(opt_noise, alpha * jnp.round(noise_rand), alpha)
+        alpha = jnp.where(opt_alpha, alpha, 1.0)
+        alpha = jnp.where(valid, alpha, 0.0)
         zeros3 = jnp.zeros_like(normal)
         return HitShade(
-            color=jnp.where(valid[..., None], color, 0.0),
+            color=jnp.concatenate([color[:3], alpha[None]], 0),
             normal=zeros3, specular=zeros3, flow=zeros3,
-            instance=jnp.where(valid, inst, -1),
+            instance=jnp.where(valid, gt[R.T_INST].astype(jnp.int32), -1),
+            rows_t=gt,
         )
 
     # Positive diffuse mix after the combiner (rt64_shader.cpp:497).
-    pos_mix = jnp.maximum(mix[..., 3:4], 0.0)
-    rgb = color[..., :3] * (1.0 - pos_mix) + mix[..., :3] * pos_mix
-    alpha = jnp.clip(
-        color[..., 3] * mat_f[..., sbuf.MAT_SOLID_ALPHA_MULT], 0.0, 1.0
-    )
-    # TEXTURE_EDGE: binarize at 0.3; below-threshold hits are ignored
-    # (alpha 0 contributes nothing downstream) (rt64_shader.cpp:502-511).
-    alpha = jnp.where(
-        opt_texture_edge, jnp.where(alpha > 0.3, 1.0, 0.0), alpha
-    )
+    pos_mix = jnp.maximum(mix_a, 0.0)
+    mix_rgb = jnp.stack([mix_r, mix_g, mix_b], 0)
+    rgb = color[:3] * (1.0 - pos_mix)[None] + mix_rgb * pos_mix[None]
+    alpha = jnp.clip(color[3] * mat(R.M_SOLID_ALPHA), 0.0, 1.0)
+    # TEXTURE_EDGE binarizes at 0.3; rejected hits contribute alpha 0
+    # (rt64_shader.cpp:502-511).
+    alpha = jnp.where(opt_edge, jnp.where(alpha > 0.3, 1.0, 0.0), alpha)
     alpha = jnp.where(opt_noise, alpha * jnp.round(noise_rand), alpha)
-    color = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    alpha = jnp.where(valid, alpha, 0.0)
 
-    # --- normal mapping (rt64_shader.cpp:522-533) -------------------------
-    normal_tex = mat_i[..., sbuf.II_NORMAL_TEX]
-    do_nmap = (mat_i[..., sbuf.II_NORMAL_MAP] == 1) & (normal_tex >= 0) & valid
-    uv_scale = mat_f[..., sbuf.MAT_UV_DETAIL_SCALE : sbuf.MAT_UV_DETAIL_SCALE + 1]
-    tangent, binormal = tangent_binormal(pw3, uv3, normal_preflip)
-    tangent = tangent * normal_sign[..., None]
-    binormal = binormal * normal_sign[..., None]
-    nmap = tex_ops.sample(
-        sb.tex_pool, sb.tex_records, jnp.where(do_nmap, normal_tex, -1),
-        uv * uv_scale, filt, h_addr, v_addr,
+    # --- normal mapping (rt64_shader.cpp:522-533) ---------------------------
+    rec_n = gt[R.T_TEX_N].astype(jnp.int32)
+    do_nmap = fl(R.F_NORMAL_MAP) & (rec_n >= 0) & valid
+    uv_scale = mat(R.M_UV_DETAIL)
+    tangent, binormal = tangent_binormal(gt, normal_preflip)
+    tangent = tangent * normal_sign[None]
+    binormal = binormal * normal_sign[None]
+    nmap = tex_ops.sample_quad(
+        sb.quad_pool, sb.quad_records, jnp.where(do_nmap, rec_n, -1),
+        uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
     )
-    ncol = nmap[..., :3] * 2.0 - 1.0
-    perturbed = (
-        normal * ncol[..., 2:3] + tangent * ncol[..., 0:1] + binormal * ncol[..., 1:2]
+    ncol = nmap[:3] * 2.0 - 1.0
+    perturbed = vm.normalize(
+        normal * ncol[2][None] + tangent * ncol[0][None] + binormal * ncol[1][None]
     )
-    perturbed = perturbed / jnp.maximum(
-        jnp.linalg.norm(perturbed, axis=-1, keepdims=True), 1e-12
-    )
-    normal = jnp.where(do_nmap[..., None], perturbed, normal)
+    normal = jnp.where(do_nmap[None], perturbed, normal)
 
-    # --- specular map (rt64_shader.cpp:539-545) ---------------------------
-    spec_tex = mat_i[..., sbuf.II_SPECULAR_TEX]
-    do_smap = (mat_i[..., sbuf.II_SPECULAR_MAP] == 1) & (spec_tex >= 0) & valid
-    smap = tex_ops.sample(
-        sb.tex_pool, sb.tex_records, jnp.where(do_smap, spec_tex, -1),
-        uv * uv_scale, filt, h_addr, v_addr,
+    # --- specular map (rt64_shader.cpp:539-545) -----------------------------
+    rec_s = gt[R.T_TEX_S].astype(jnp.int32)
+    do_smap = fl(R.F_SPECULAR_MAP) & (rec_s >= 0) & valid
+    smap = tex_ops.sample_quad(
+        sb.quad_pool, sb.quad_records, jnp.where(do_smap, rec_s, -1),
+        uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
     )
-    specular = jnp.where(do_smap[..., None], smap[..., :3], jnp.ones_like(smap[..., :3]))
+    specular = jnp.where(do_smap[None], smap[:3], jnp.ones_like(smap[:3]))
 
-    # --- motion flow (rt64_shader.cpp:535-537) -----------------------------
-    cur_m = sb.transforms[inst]
-    prev_m = sb.prev_transforms[inst]
-    cur_w = jnp.einsum("...i,...ij->...j", p_obj, cur_m[..., :3, :3]) + cur_m[..., 3, :3]
-    prev_w = jnp.einsum("...i,...ij->...j", p_obj, prev_m[..., :3, :3]) + prev_m[..., 3, :3]
-    flow = cur_w - prev_w
+    # --- motion flow (rt64_shader.cpp:535-537) -------------------------------
+    pp0 = gt[R.T_PP0 : R.T_PP0 + 3]
+    pp1 = gt[R.T_PP1 : R.T_PP1 + 3]
+    pp2 = gt[R.T_PP2 : R.T_PP2 + 3]
+    prev_pos = pp0 * w0 + pp1 * u + pp2 * v
+    flow = pos - prev_pos
 
+    vmask = valid[None]
     return HitShade(
-        color=jnp.where(valid[..., None], color, 0.0),
-        normal=jnp.where(valid[..., None], normal, 0.0),
-        specular=jnp.where(valid[..., None], specular, 0.0),
-        flow=jnp.where(valid[..., None], flow, 0.0),
-        instance=jnp.where(valid, inst, -1),
+        color=jnp.where(vmask, jnp.concatenate([rgb, alpha[None]], 0), 0.0),
+        normal=jnp.where(vmask, normal, 0.0),
+        specular=jnp.where(vmask, specular, 0.0),
+        flow=jnp.where(vmask, flow, 0.0),
+        instance=jnp.where(valid, gt[R.T_INST].astype(jnp.int32), -1),
+        rows_t=gt,
     )
 
 
-def _tangent_basis(pw3, uv3):
-    """Per-triangle tangent (rt64_shader.cpp:201-217), in world space."""
-    uv0, uv1, uv2 = uv3[..., 0, :], uv3[..., 1, :], uv3[..., 2, :]
-    uva = uv1[..., 0] - uv0[..., 0]
-    uvb = uv2[..., 0] - uv0[..., 0]
-    uvc = uv1[..., 1] - uv0[..., 1]
-    uvd = uv2[..., 1] - uv0[..., 1]
+def tangent_binormal(gt, vertex_normal):
+    """Tangent + binormal (rt64_shader.cpp:201-225), world space, planar.
+
+    UV-derived tangent with degenerate fallbacks; binormal handedness
+    from UV winding (rt64_shader.cpp:218-224).
+    """
+    p0 = gt[R.T_P0 : R.T_P0 + 3]
+    p1 = gt[R.T_P1 : R.T_P1 + 3]
+    p2 = gt[R.T_P2 : R.T_P2 + 3]
+    u0, v0 = gt[R.T_UV], gt[R.T_UV + 1]
+    u1, v1 = gt[R.T_UV + 2], gt[R.T_UV + 3]
+    u2, v2 = gt[R.T_UV + 4], gt[R.T_UV + 5]
+    uva = u1 - u0
+    uvb = u2 - u0
+    uvc = v1 - v0
+    uvd = v2 - v0
     uvk = uvb * uvc - uva * uvd
-    dpos1 = pw3[..., 1, :] - pw3[..., 0, :]
-    dpos2 = pw3[..., 2, :] - pw3[..., 0, :]
-
-    def nrm(x):
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-
-    t_main = nrm(uvc[..., None] * dpos2 - uvd[..., None] * dpos1)
-    t_a = nrm(dpos1)
-    t_b = nrm(dpos2)
+    dpos1 = p1 - p0
+    dpos2 = p2 - p0
+    t_main = vm.normalize(dpos2 * uvc[None] - dpos1 * uvd[None])
+    t_a = vm.normalize(dpos1)
+    t_b = vm.normalize(dpos2)
     tangent = jnp.where(
-        (uvk != 0.0)[..., None],
+        (uvk != 0.0)[None],
         t_main,
         jnp.where(
-            (uva != 0.0)[..., None],
-            t_a,
-            jnp.where((uvb != 0.0)[..., None], t_b, jnp.zeros_like(t_a)),
+            (uva != 0.0)[None], t_a,
+            jnp.where((uvb != 0.0)[None], t_b, jnp.zeros_like(t_a)),
         ),
     )
-    return tangent
-
-
-def tangent_binormal(pw3, uv3, vertex_normal):
-    """Tangent + binormal (rt64_shader.cpp:201-225), world space.
-
-    Binormal handedness from the UV winding (rt64_shader.cpp:218-224);
-    the cross uses the interpolated vertex normal like the reference.
-    """
-    tangent = _tangent_basis(pw3, uv3)
-    uv0, uv1, uv2 = uv3[..., 0, :], uv3[..., 1, :], uv3[..., 2, :]
-    duv1 = uv1 - uv0
-    duv2 = uv2 - uv1
     # cross(float3(duv1, 0), float3(duv2, 0)).z with both y negated.
-    crz = duv1[..., 0] * (-duv2[..., 1]) - (-duv1[..., 1]) * duv2[..., 0]
+    d1u, d1v = u1 - u0, -(v1 - v0)
+    d2u, d2v = u2 - u1, -(v2 - v1)
+    crz = d1u * d2v - d1v * d2u
     binormal_mult = jnp.where(crz < 0.0, -1.0, 1.0)
-    binormal = jnp.cross(tangent, vertex_normal) * binormal_mult[..., None]
+    binormal = vm.cross(tangent, vertex_normal) * binormal_mult[None]
     return tangent, binormal
+
+
+def build_tri_rows(sb):
+    """Per-frame world-space triangle rows — the TLAS-rebuild/BLAS-refit
+    analog (driver builds at rt64_view.cpp:412-452, rt64_mesh.cpp:114-158).
+
+    One fused program: gather vertex rows per corner + instance rows per
+    triangle, transform to world space (row-vector convention), and lay
+    out the TROW columns. Returns (tri_rows (T, TROW), rows_t (TROW, T)).
+    """
+    vr = [sb.vertex_rows[sb.tri_idx[:, k]].T for k in range(3)]  # (VROW, T) x3
+    it = sb.instance_rows[sb.tri_instance].T  # (IROW, T)
+
+    m3 = it[R.I_M3 : R.I_M3 + 9]
+    tr = it[R.I_TR : R.I_TR + 3]
+    nm3 = it[R.I_NM3 : R.I_NM3 + 9]
+    pm3 = it[R.I_PM3 : R.I_PM3 + 9]
+    ptr = it[R.I_PTR : R.I_PTR + 3]
+
+    parts = []
+    world = []
+    for k in range(3):
+        p = vr[k][R.V_POS : R.V_POS + 3]
+        world.append(vm.mat3_apply(m3, p) + tr)
+    parts += world
+    for k in range(3):
+        n = vr[k][R.V_NRM : R.V_NRM + 3]
+        parts.append(vm.mat3_apply(nm3, n))
+    # uv interleaved u0 v0 u1 v1 u2 v2
+    parts.append(
+        jnp.stack(
+            [vr[0][R.V_UV], vr[0][R.V_UV + 1], vr[1][R.V_UV], vr[1][R.V_UV + 1],
+             vr[2][R.V_UV], vr[2][R.V_UV + 1]], 0,
+        )
+    )
+    for base in (R.V_IN1, R.V_IN2):
+        parts.append(
+            jnp.concatenate([vr[k][base : base + 4] for k in range(3)], 0)
+        )
+    for k in range(3):
+        p = vr[k][R.V_POS : R.V_POS + 3]
+        parts.append(vm.mat3_apply(pm3, p) + ptr)
+    parts.append(sb.tri_instance.astype(jnp.float32)[None])
+    parts.append(it[R.I_MAT : R.I_MAT + R.M_WIDTH])
+    parts.append(it[R.I_CC][None])
+    parts.append(it[R.I_FLAGS][None])
+    parts.append(it[R.I_TEX_D][None])
+    parts.append(it[R.I_TEX_N][None])
+    parts.append(it[R.I_TEX_S][None])
+    parts.append(it[R.I_SAMPLER][None])
+    parts.append(it[R.I_ELIG : R.I_ELIG + R.MAX_ELIG_LIGHTS])
+    parts.append(it[R.I_INPUT_COUNT][None])
+    rows_t = jnp.concatenate(parts, axis=0)
+    pad = R.TROW - rows_t.shape[0]
+    assert pad >= 0, rows_t.shape
+    if pad:
+        rows_t = jnp.concatenate(
+            [rows_t, jnp.zeros((pad, rows_t.shape[1]), rows_t.dtype)], 0
+        )
+    return rows_t.T, rows_t

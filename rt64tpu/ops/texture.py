@@ -1,16 +1,19 @@
-"""Texture atlas sampling: point/bilinear, wrap/mirror/clamp.
+"""Quad-pool texture sampling: one row gather per bilinear fetch.
 
 Replaces the descriptor-heap texture table (gTextures[512],
-Textures.hlsli; heap layout rt64_common.h:34-122) and the 18 static
-samplers indexed by filter x hAddr x vAddr (rt64_shader.cpp:142-149).
-All textures live in one flat RGBA8 texel pool; a per-texture record
-holds (offset, width, height). Sampling is vectorized address math +
-four gathers — the four bilinear corners double as the nearest-point
-candidates, so point filtering costs nothing extra.
+Textures.hlsli) and the 18 static samplers (rt64_shader.cpp:142-149).
+The pool (scene_buffers.build_quad_entries) stores, per texel, the
+packed RGBA of itself and its +x/+y/+xy neighbors under the texture's
+addressing mode — so a bilinear sample is ONE dynamic row gather plus
+vector unpack math, instead of four scalar gathers. TPU gathers cost
+per-row, not per-byte, making this ~4x cheaper.
 
-Mipmaps are intentionally absent: the reference ships a GenerateMips
-compute pass but constructs it under ``#if 0`` (rt64_device.cpp:758-762)
-and force-disables it on AMD, so SampleGrad degenerates to bilinear.
+Addressing of the BASE coordinate still happens at sample time (the
+baked neighbors only cover the +1 step). Point filtering selects the
+nearest of the four fetched corners — free.
+
+Mipmaps are intentionally absent: the reference builds its mip pass
+under ``#if 0`` (rt64_device.cpp:758-762), so SampleGrad == bilinear.
 """
 
 from __future__ import annotations
@@ -22,86 +25,87 @@ ADDR_MIRROR = 1
 ADDR_CLAMP = 2
 
 
-def _address(i, size, mode):
-    """Apply addressing mode to integer texel indices (vectorized)."""
-    wrapped = jnp.remainder(i, size)
-    m = jnp.remainder(i, 2 * size)
-    mirrored = jnp.where(m < size, m, 2 * size - 1 - m)
-    clamped = jnp.clip(i, 0, size - 1)
+def _remap(x, size, mode):
+    """Apply addressing to the CONTINUOUS texel coordinate so the base
+    index lands in [0, size-1] and the baked +1 neighbors stay exact.
+
+    Mirror reflects the whole coordinate (equivalent to per-index
+    mirroring of both bilinear corners); clamp collapses out-of-range
+    samples onto the edge texel, which matches D3D because both true
+    corners are then the same texel.
+    """
+    sizef = size.astype(x.dtype)
+    wrapped = jnp.mod(x, sizef)
+    reflected = sizef - 0.5 - jnp.abs(jnp.mod(x + 0.5, 2.0 * sizef) - sizef)
+    mirrored = jnp.clip(reflected, 0.0, sizef - 1.0)
+    clamped = jnp.clip(x, 0.0, sizef - 1.0)
     return jnp.where(
         mode == ADDR_WRAP, wrapped, jnp.where(mode == ADDR_MIRROR, mirrored, clamped)
     )
 
 
-def sample(pool, records, tex_index, uv, filter_linear, h_addr, v_addr):
-    """Sample textures.
+def _unpack(u32):
+    """(4, N) u32 -> (4 corners, 4 rgba, N) float in [0,1]."""
+    r = (u32 & 0xFF).astype(jnp.float32)
+    g = ((u32 >> 8) & 0xFF).astype(jnp.float32)
+    b = ((u32 >> 16) & 0xFF).astype(jnp.float32)
+    a = ((u32 >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=1) * (1.0 / 255.0)
 
-    Args:
-      pool: (P, 4) uint8 RGBA texel pool.
-      records: (Tex, 3) int32 — offset, width, height per texture.
-      tex_index: (...,) int32 texture ids; negative -> transparent black.
-      uv: (..., 2) float texture coordinates.
-      filter_linear: (...,) bool or scalar — bilinear when True.
-      h_addr / v_addr: (...,) int32 or scalar addressing modes.
 
-    Returns: (..., 4) float32 in [0, 1].
+def sample_quad(pool, records, rec_id, u, v, filter_linear, h_addr, v_addr):
+    """Sample via the quad pool.
+
+    pool: (P, 4) uint32; records: (Rec, 3) int32 (offset, W, H);
+    rec_id: (N,) int32 (negative -> transparent black); u, v: (N,)
+    texture coords; filter_linear: (N,) bool; h_addr/v_addr: (N,) int32.
+
+    Returns (4, N): r, g, b, a planes.
     """
-    safe_idx = jnp.maximum(tex_index, 0)
-    rec = records[safe_idx]  # (..., 3)
-    offset = rec[..., 0]
-    w = rec[..., 1]
-    h = rec[..., 2]
+    safe = jnp.maximum(rec_id, 0)
+    rec = records[safe]  # (N, 3) — tiny row gather over Rec entries
+    offset = rec[:, 0]
+    w = rec[:, 1]
+    h = rec[:, 2]
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
-    x = uv[..., 0] * wf - 0.5
-    y = uv[..., 1] * hf - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    x = _remap(u * wf - 0.5, w, h_addr)
+    y = _remap(v * hf - 0.5, h, v_addr)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    flat = jnp.clip(offset + y0 * w + x0, 0, pool.shape[0] - 1)
 
-    xs = [_address(x0, w, h_addr), _address(x0 + 1, w, h_addr)]
-    ys = [_address(y0, h, v_addr), _address(y0 + 1, h, v_addr)]
+    quads = pool[flat]  # (N, 4) u32 — THE gather
+    c = _unpack(quads.T)  # (4 corners, 4 rgba, N)
+    c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
 
-    def fetch(xi, yi):
-        flat = offset + yi * w + xi
-        flat = jnp.clip(flat, 0, pool.shape[0] - 1)
-        return pool[flat].astype(jnp.float32) * (1.0 / 255.0)
-
-    c00 = fetch(xs[0], ys[0])
-    c10 = fetch(xs[1], ys[0])
-    c01 = fetch(xs[0], ys[1])
-    c11 = fetch(xs[1], ys[1])
-
-    fxe = fx[..., None]
-    fye = fy[..., None]
     bilinear = (
-        c00 * (1 - fxe) * (1 - fye)
-        + c10 * fxe * (1 - fye)
-        + c01 * (1 - fxe) * fye
-        + c11 * fxe * fye
+        c00 * ((1 - fx) * (1 - fy))[None]
+        + c10 * (fx * (1 - fy))[None]
+        + c01 * ((1 - fx) * fy)[None]
+        + c11 * (fx * fy)[None]
     )
-    # Nearest texel is always one of the four corners.
-    px = (fx >= 0.5)[..., None]
-    py = (fy >= 0.5)[..., None]
-    point = jnp.where(
-        py, jnp.where(px, c11, c01), jnp.where(px, c10, c00)
-    )
-    lin = jnp.asarray(filter_linear)
-    if lin.ndim < bilinear.ndim - 1:
-        lin = jnp.broadcast_to(lin, bilinear.shape[:-1])
-    out = jnp.where(lin[..., None], bilinear, point)
-    return jnp.where((tex_index >= 0)[..., None], out, jnp.zeros_like(out))
+    px = (fx >= 0.5)[None]
+    py = (fy >= 0.5)[None]
+    point = jnp.where(py, jnp.where(px, c11, c01), jnp.where(px, c10, c00))
+    out = jnp.where(filter_linear[None], bilinear, point)
+    return jnp.where((rec_id >= 0)[None], out, jnp.zeros_like(out))
 
 
-def sample_env(pool, records, tex_index, uv):
-    """Background/sky sampler s0 analog: bilinear + wrap."""
-    return sample(
-        pool, records, tex_index, uv,
-        filter_linear=jnp.bool_(True),
-        h_addr=jnp.int32(ADDR_WRAP),
-        v_addr=jnp.int32(ADDR_WRAP),
+def sample_env(pool, records, rec_id, u, v):
+    """Background/sky sampler s0 analog: bilinear + wrap (the combo the
+    packer bakes for env textures)."""
+    n = u.shape
+    return sample_quad(
+        pool, records,
+        jnp.broadcast_to(jnp.asarray(rec_id, jnp.int32), n),
+        u, v,
+        jnp.broadcast_to(jnp.bool_(True), n),
+        jnp.broadcast_to(jnp.int32(ADDR_WRAP), n),
+        jnp.broadcast_to(jnp.int32(ADDR_WRAP), n),
     )

@@ -108,10 +108,10 @@ class _Rays(NamedTuple):
 
     @staticmethod
     def of(origins, dirs, t_min, t_max) -> "_Rays":
-        col = lambda a, i: jax.lax.slice_in_dim(a, i, i + 1, axis=1)
+        """origins/dirs: planar (3, N)."""
         return _Rays(
-            ox=col(origins, 0), oy=col(origins, 1), oz=col(origins, 2),
-            dx=col(dirs, 0), dy=col(dirs, 1), dz=col(dirs, 2),
+            ox=origins[0][:, None], oy=origins[1][:, None], oz=origins[2][:, None],
+            dx=dirs[0][:, None], dy=dirs[1][:, None], dz=dirs[2][:, None],
             t_min=t_min[:, None], t_max=t_max[:, None],
         )
 
@@ -166,10 +166,10 @@ def trace_opaque(
 ):
     """Closest opaque-class hit: masked min-reduce over triangle chunks.
 
-    Returns (t_biased, tri, uv): tri = -1 for miss; t is the *biased*
-    sort key (caller unbias via scene.bias).
+    origins/dirs: planar (3, N). Returns (t_biased, tri, uv): tri = -1
+    for miss; t is the *biased* sort key (caller unbias via scene.bias).
     """
-    n = origins.shape[0]
+    n = origins.shape[1]
     t_total = scene.num_triangles
     chunk = min(chunk, t_total)
     assert t_total % chunk == 0, (t_total, chunk)
@@ -220,7 +220,7 @@ def trace_alpha(
 
     Returns (t_biased (N,K) sorted, tri (N,K), uv (N,K,2)).
     """
-    n = origins.shape[0]
+    n = origins.shape[1]
     a_cap = scene.alpha_idx.shape[0]
     k = k_alpha
     t_a = jnp.full((n, k), _BIG, jnp.float32)
@@ -278,10 +278,10 @@ def trace(
 ) -> Hits:
     """Trace rays against the full scene.
 
-    origins/dirs: (N, 3); dirs may be non-normalized (t is measured in
-    units of |dir| like DXR). opaque_fn optionally overrides the opaque
-    traversal (the Pallas kernel hook); it must match trace_opaque's
-    signature/returns.
+    origins/dirs: planar (3, N); dirs may be non-normalized (t is
+    measured in units of |dir| like DXR). opaque_fn optionally overrides
+    the opaque traversal (the Pallas kernel hook); it must match
+    trace_opaque's signature/returns.
     """
     opaque = opaque_fn or trace_opaque
     t_opb, tri_op, uv_op = opaque(
@@ -297,9 +297,10 @@ def trace(
         tri_a = jnp.where(behind, -1, tri_a)
         t_ab = jnp.where(behind, _BIG, t_ab)
     else:
-        t_ab = jnp.full((origins.shape[0], 1), _BIG, jnp.float32)
-        tri_a = jnp.full((origins.shape[0], 1), -1, jnp.int32)
-        uv_a = jnp.zeros((origins.shape[0], 1, 2), jnp.float32)
+        n = origins.shape[1]
+        t_ab = jnp.full((n, 1), _BIG, jnp.float32)
+        tri_a = jnp.full((n, 1), -1, jnp.int32)
+        uv_a = jnp.zeros((n, 1, 2), jnp.float32)
 
     # Unbias: stored keys are t - bias; recover true t for positions
     # (WithoutDistanceBias, Instances.hlsli).

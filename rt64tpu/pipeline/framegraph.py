@@ -1,32 +1,36 @@
-"""The frame graph: one jitted program per frame.
+"""The frame graph: one jitted program per frame — planar layout.
 
 Reimplements View::render's pass DAG (rt64_view.cpp:1180-1667) as pure
-functions over HBM-resident arrays:
+functions over HBM-resident planes:
 
-    primary -> direct -> indirect -> refraction -> reflection loop
-            -> DI/GI filter -> compose -> upscale -> post-process
+    build tri rows (TLAS/BLAS refit analog)
+    -> primary -> direct -> indirect -> refraction -> reflection loop
+    -> DI/GI filter -> compose -> upscale -> post-process
 
 plus the temporal history swap (the rtSwap double-buffer flip,
 rt64_view.cpp:1663-1667). Hand-placed UAV barriers disappear — XLA's
 dataflow provides the ordering — and every pass fuses into one program.
 
-Raygen math mirrors the five HLSL raygen shaders 1:1 (citations
-inline). Loop bounds that shape the program (sample counts, hit slots,
-reflection bounces) are static config; everything else is traced.
+All per-pixel data is planar ((C, N) / (C, H, W)): trailing small dims
+pad to the TPU's 128-lane tile and were measured 6-40x slower. Raygen
+math mirrors the five HLSL raygen shaders 1:1 (citations inline). Loop
+bounds that shape the program (sample counts, hit slots, reflection
+bounces) are static config; everything else is traced.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from rt64tpu.ops import bluenoise, filters, fog, lighting, math3d, sky
+from rt64tpu.ops import bluenoise, filters, fog, lighting, sky, tracer
 from rt64tpu.ops import random as rnd
 from rt64tpu.ops import shading as shade_ops
-from rt64tpu.ops import tracer
+from rt64tpu.ops import vecmath as vm
+from rt64tpu.pipeline import rows as R
 from rt64tpu.pipeline import scene_buffers as sbuf
 
 EPSILON = 1e-6
@@ -48,12 +52,12 @@ class RenderConfig:
     max_reflections: int = 2  # rt64_view.cpp:60
     k_primary: int = 4  # alpha hit slots (<= MAX_HIT_QUERIES 16)
     k_secondary: int = 2
-    k_shadow: int = 2
+    k_shadow: int = 1
     motion_blur_samples: int = 32  # rt64_view.cpp:53
     denoiser_enabled: bool = False
     gi_filter_passes: int = 5  # rt64_view.cpp:1512-1530
     upscaler: int = 0
-    tri_chunk: int = 256
+    tri_chunk: int = 512
     alpha_cap: int = 256  # compacted alpha triangle list capacity
 
 
@@ -81,76 +85,81 @@ class GlobalParams(NamedTuple):
     gi_diffuse_strength: jax.Array
     gi_sky_strength: jax.Array
     motion_blur_strength: jax.Array
-    sky_plane_tex_index: jax.Array  # int32
+    sky_plane_rec: jax.Array  # int32 quad-pool record (-1 = none)
     frame_count: jax.Array  # uint32
     di_reproject: jax.Array  # bool
     gi_reproject: jax.Array  # bool
     binary_lock_mask: jax.Array  # bool
-    visualization_mode: jax.Array  # int32
 
 
 class History(NamedTuple):
-    """Temporal state (prev buffers, rt64_view.h:99-110)."""
+    """Temporal state (prev buffers, rt64_view.h:99-110). Flat planes."""
 
-    normal: jax.Array  # (H, W, 3)
-    depth: jax.Array  # (H, W)
-    direct: jax.Array  # (H, W, 4) rgb + history length
-    indirect: jax.Array  # (H, W, 4)
+    normal: jax.Array  # (3, N)
+    depth: jax.Array  # (N,)
+    direct: jax.Array  # (4, N) rgb + history length
+    indirect: jax.Array  # (4, N)
 
     @staticmethod
     def zeros(h: int, w: int) -> "History":
+        n = h * w
         return History(
-            normal=jnp.zeros((h, w, 3), jnp.float32),
-            depth=jnp.zeros((h, w), jnp.float32),
-            direct=jnp.zeros((h, w, 4), jnp.float32),
-            indirect=jnp.zeros((h, w, 4), jnp.float32),
+            normal=jnp.zeros((3, n), jnp.float32),
+            depth=jnp.zeros((n,), jnp.float32),
+            direct=jnp.zeros((4, n), jnp.float32),
+            indirect=jnp.zeros((4, n), jnp.float32),
         )
 
 
 class GBuffers(NamedTuple):
-    """Primary-pass outputs (GlobalBuffers.hlsli u0-u15)."""
+    """Primary-pass outputs (GlobalBuffers.hlsli u0-u15), planar."""
 
-    view_direction: jax.Array  # (N, 3)
-    shading_position: jax.Array  # (N, 3)
-    shading_normal: jax.Array  # (N, 3)
-    shading_specular: jax.Array  # (N, 3)
-    diffuse: jax.Array  # (N, 4)
-    instance_id: jax.Array  # (N,)
-    transparent: jax.Array  # (N, 3)
-    flow: jax.Array  # (N, 2) screen-pixel motion
-    reactive_mask: jax.Array  # (N,)
-    lock_mask: jax.Array  # (N,)
+    view_dir: jax.Array  # (3, N)
+    position: jax.Array  # (3, N)
+    normal: jax.Array  # (3, N)
+    specular: jax.Array  # (3, N)
+    diffuse_rgb: jax.Array  # (3, N)
+    diffuse_a: jax.Array  # (N,)
+    instance: jax.Array  # (N,) int32 (-1 none)
+    transparent: jax.Array  # (3, N)
+    flow: jax.Array  # (2, N) screen-pixel motion
+    reactive: jax.Array  # (N,)
+    lock: jax.Array  # (N,)
     depth: jax.Array  # (N,)
-    reflection_alpha: jax.Array  # (N,)
-    refraction_alpha: jax.Array  # (N,)
+    refl_alpha: jax.Array  # (N,)
+    refr_alpha: jax.Array  # (N,)
+    row: jax.Array  # (TROW, N) stored-hit triangle row (materials etc.)
 
 
-def make_trace_scene(
-    sb: sbuf.SceneBuffers, world: shade_ops.WorldGeometry, alpha_cap: int = 256
-) -> tracer.TraceScene:
-    """Build the tracer's triangle-soup view of the frame."""
-    v0, v1, v2 = (
-        world.world_pos[sb.tri_idx[:, 0]],
-        world.world_pos[sb.tri_idx[:, 1]],
-        world.world_pos[sb.tri_idx[:, 2]],
+class FrameOutputs(NamedTuple):
+    image: jax.Array  # (3, DH, DW) linear float
+    history: History
+    gbuffers: GBuffers
+    direct_accum: jax.Array  # (4, N)
+    indirect_accum: jax.Array  # (4, N)
+    filtered_direct: jax.Array  # (3, N)
+    filtered_indirect: jax.Array  # (3, N)
+    reflection: jax.Array  # (3, N)
+    refraction: jax.Array  # (3, N)
+    rt_output: jax.Array  # (3, H, W)
+
+
+def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
+    """Tracer view over the triangle rows (zero-copy slices)."""
+    flags = rows_t[R.T_FLAGS].astype(jnp.int32)
+    alpha = ((flags & R.F_ALPHA_CLASS) != 0) & sb.tri_valid
+    no_cull = (flags & R.F_NO_CULL) != 0
+    bias = rows_t[R.T_MAT + R.M_DEPTH_BIAS]
+    return tracer.TraceScene(
+        v0=rows_t[R.T_P0 : R.T_P0 + 3],
+        v1=rows_t[R.T_P1 : R.T_P1 + 3],
+        v2=rows_t[R.T_P2 : R.T_P2 + 3],
+        valid=sb.tri_valid,
+        alpha=alpha,
+        no_cull=no_cull,
+        bias=bias,
+        alpha_idx=tracer.compact_alpha(sb.tri_valid, alpha, alpha_cap),
     )
-    inst = sb.tri_instance
-    alpha = (sb.mat_i[inst, sbuf.II_ALPHA_CLASS] == 1) & sb.tri_valid
-    no_cull = sb.mat_i[inst, sbuf.II_NO_CULL] == 1
-    bias = sb.mat_f[inst, sbuf.MAT_DEPTH_BIAS]
-    return tracer.make_trace_scene_arrays(
-        v0, v1, v2, sb.tri_valid, alpha, no_cull, bias, alpha_cap
-    )
-
-
-def build_world(sb: sbuf.SceneBuffers) -> shade_ops.WorldGeometry:
-    """Per-frame vertex transform — the TLAS-rebuild/BLAS-refit analog."""
-    from rt64tpu.ops.geometry import transform_vertices
-
-    wp, wn = transform_vertices(
-        sb.pos, sb.nrm, sb.transforms, sb.normal_mats, sb.vert_instance
-    )
-    return shade_ops.WorldGeometry(world_pos=wp, world_nrm=wn)
 
 
 def _pixel_grid(cfg: RenderConfig):
@@ -159,26 +168,31 @@ def _pixel_grid(cfg: RenderConfig):
     yy = jnp.arange(h, dtype=jnp.int32)
     px = jnp.broadcast_to(xx[None, :], (h, w)).reshape(-1)
     py = jnp.broadcast_to(yy[:, None], (h, w)).reshape(-1)
-    return jnp.stack([px, py], axis=-1)  # (N, 2)
+    return jnp.stack([px, py], axis=-1)  # (N, 2) int
 
 
 def primary_rays(cfg: RenderConfig, gp: GlobalParams):
-    """Camera ray setup (PrimaryRayGen.hlsl:33-40): returns origin,
-    non-normalized direction (the reference traces un-normalized), and
-    the NDC-ish d for background lookups."""
+    """Camera ray setup (PrimaryRayGen.hlsl:33-40): planar origin (3, N)
+    and NON-normalized direction (3, N), exactly like the reference."""
     pix = _pixel_grid(cfg)
-    dims = jnp.asarray([cfg.rt_width, cfg.rt_height], jnp.float32)
-    d = ((pix.astype(jnp.float32) + 0.5 + gp.pixel_jitter) / dims) * 2.0 - 1.0
-    target = math3d.transform_points_h(
-        jnp.stack([d[:, 0], -d[:, 1], jnp.ones_like(d[:, 0])], axis=-1),
-        gp.projection_i,
-    )
-    origin = gp.view_i[3, :3]
-    direction = math3d.transform_dirs(target[:, :3], gp.view_i)
-    return pix, origin, direction
+    w, h = cfg.rt_width, cfg.rt_height
+    dx = ((pix[:, 0].astype(jnp.float32) + 0.5 + gp.pixel_jitter[0]) / w) * 2.0 - 1.0
+    dy = ((pix[:, 1].astype(jnp.float32) + 0.5 + gp.pixel_jitter[1]) / h) * 2.0 - 1.0
+    pi = gp.projection_i
+    # target = [dx, -dy, 1, 1] @ projI (xyz components)
+    tx = dx * pi[0, 0] - dy * pi[1, 0] + pi[2, 0] + pi[3, 0]
+    ty = dx * pi[0, 1] - dy * pi[1, 1] + pi[2, 1] + pi[3, 1]
+    tz = dx * pi[0, 2] - dy * pi[1, 2] + pi[2, 2] + pi[3, 2]
+    vi = gp.view_i
+    ddx = tx * vi[0, 0] + ty * vi[1, 0] + tz * vi[2, 0]
+    ddy = tx * vi[0, 1] + ty * vi[1, 1] + tz * vi[2, 1]
+    ddz = tx * vi[0, 2] + ty * vi[1, 2] + tz * vi[2, 2]
+    dirs = jnp.stack([ddx, ddy, ddz], 0)
+    origin = jnp.broadcast_to(vi[3, :3][:, None], dirs.shape)
+    return pix, origin, dirs
 
 
-def _noise_rand(cfg: RenderConfig, gp: GlobalParams, pix):
+def _noise_rand(cfg, gp, pix):
     """Per-pixel combiner-noise random (rt64_shader.cpp:513-516)."""
     flat = (pix[:, 0] + pix[:, 1] * cfg.rt_width).astype(jnp.uint32)
     seed = rnd.init_rand(flat, jnp.broadcast_to(gp.frame_count, flat.shape))
@@ -186,85 +200,127 @@ def _noise_rand(cfg: RenderConfig, gp: GlobalParams, pix):
     return val
 
 
-def _resolve_hits(
-    sb, gp, cfg, shade: shade_ops.HitShade, t_all, origins, dirs,
-    bg_color, world, trace_scene, pix, bn_table, noise_rand,
+def world_to_screen(vp, pos):
+    """WorldToScreenPos, planar: pos (3, N) -> (u, v) each (N,)."""
+    cx = pos[0] * vp[0, 0] + pos[1] * vp[1, 0] + pos[2] * vp[2, 0] + vp[3, 0]
+    cy = pos[0] * vp[0, 1] + pos[1] * vp[1, 1] + pos[2] * vp[2, 1] + vp[3, 1]
+    cw = pos[0] * vp[0, 3] + pos[1] * vp[1, 3] + pos[2] * vp[2, 3] + vp[3, 3]
+    return 0.5 + 0.5 * cx / cw, 0.5 + 0.5 * cy / cw
+
+
+def _screen_depth(vp, pos):
+    cz = pos[0] * vp[0, 2] + pos[1] * vp[1, 2] + pos[2] * vp[2, 2] + vp[3, 2]
+    cw = pos[0] * vp[0, 3] + pos[1] * vp[1, 3] + pos[2] * vp[2, 3] + vp[3, 3]
+    return cz / cw
+
+
+def _fresnel(normal, incident, reflectivity, fresnel_multiplier):
+    """FresnelReflectAmount (PrimaryRayGen.hlsl:26-30)."""
+    d = vm.dot(normal, incident)
+    ret = jnp.power(jnp.clip(1.0 + d, EPSILON, 1.0), 5.0)
+    return reflectivity + (1.0 - reflectivity) * ret * fresnel_multiplier
+
+
+def _trace_and_shade(
+    sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
+    noise_rand, cfg, cull_backface=True,
 ):
-    """Front-to-back alpha resolve (PrimaryRayGen.hlsl:76-177).
+    """Trace + shade K+1 ordered hit slots (alpha..., opaque last).
 
-    shade/t_all cover K+1 slots ordered near-to-far (alpha slots then
-    the opaque hit). Returns the full primary g-buffer set.
+    Returns (shade flattened over slots, t_all (K1, N), k1).
     """
-    n, k1 = t_all.shape
-    inst = shade.instance
-    inst_s = jnp.maximum(inst, 0)
-    mat_f = sb.mat_f[inst_s]  # (N, K1, MAT_WIDTH)
-    uses_lighting = (sb.light_groups_inst[inst_s] > 0) & (inst >= 0)
-
-    hit_alpha = shade.color[..., 3]
-    hit_pos = origins[:, None, :] + dirs[:, None, :] * t_all[..., None]
-
-    # Fog per hit (PrimaryRayGen.hlsl:108-113).
-    fog_rgba = fog.fog_from_camera(
-        hit_pos, gp.view, gp.projection,
-        mat_f[..., sbuf.MAT_FOG_R : sbuf.MAT_FOG_R + 3],
-        mat_f[..., sbuf.MAT_FOG_MUL], mat_f[..., sbuf.MAT_FOG_OFFSET],
+    hits = tracer.trace(
+        origins, dirs, t_min, t_max, trace_scene,
+        k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
     )
-    fog_a = jnp.where(mat_f[..., sbuf.MAT_FOG_ENABLED] > 0.0, fog_rgba[..., 3], 0.0)
+    k1 = k_alpha + 1
+    tri_all = jnp.concatenate([hits.tri_a.T, hits.tri_op[None]], 0)  # (K1, N)
+    u_all = jnp.concatenate([hits.uv_a[..., 0].T, hits.uv_op[None, :, 0]], 0)
+    v_all = jnp.concatenate([hits.uv_a[..., 1].T, hits.uv_op[None, :, 1]], 0)
+    t_all = jnp.concatenate([hits.t_a.T, hits.t_op[None]], 0)
+    shade = shade_ops.shade_hits(
+        sb, tri_rows,
+        jnp.tile(dirs, (1, k1)),
+        tri_all.reshape(-1), u_all.reshape(-1), v_all.reshape(-1),
+        jnp.tile(noise_rand, k1),
+    )
+    return shade, t_all, k1
 
-    refl_factor = mat_f[..., sbuf.MAT_REFLECTION]
-    refr_factor = mat_f[..., sbuf.MAT_REFRACTION]
-    fresnel_mult = mat_f[..., sbuf.MAT_REFLECTION_FRESNEL]
-    self_light = mat_f[..., sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
-    lock = mat_f[..., sbuf.MAT_LOCK_MASK]
 
-    ambient = gp.ambient_base + gp.ambient_no_gi
+def _slot(arr, n, s):
+    """Slice slot s from a flattened (..., K1*N) array."""
+    return jax.lax.dynamic_slice_in_dim(arr, s * n, n, axis=arr.ndim - 1)
 
-    # Sequential scan over the K+1 slots (static unroll; K is small).
-    res_a = jnp.ones((n,), jnp.float32)
-    res_rgb = jnp.zeros((n, 3), jnp.float32)
-    res_transparent = jnp.zeros((n, 3), jnp.float32)
-    trans_lit_sum = jnp.zeros((n, 3), jnp.float32)  # x resTransparentLight later
-    lock_acc = jnp.zeros((n,), jnp.float32)
-    refl_alpha = jnp.zeros((n,), jnp.float32)
-    refr_alpha = jnp.zeros((n,), jnp.float32)
+
+def _resolve_primary(
+    sb, gp, cfg, shade, t_all, k1, origins, dirs, bg_color, tri_rows,
+    trace_scene, pix, bn_table, noise_rand,
+):
+    """Front-to-back alpha resolve (PrimaryRayGen.hlsl:76-198)."""
+    n = dirs.shape[1]
+    ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
+
+    res_a = jnp.ones((n,))
+    res_rgb = jnp.zeros((3, n))
+    res_transparent = jnp.zeros((3, n))
+    trans_lit_sum = jnp.zeros((3, n))
+    lock_acc = jnp.zeros((n,))
+    refl_alpha = jnp.zeros((n,))
+    refr_alpha = jnp.zeros((n,))
     stored = jnp.zeros((n,), bool)
-    st_pos = jnp.zeros((n, 3), jnp.float32)
+    st_row = jnp.zeros((R.TROW, n))
+    st_pos = jnp.zeros((3, n))
     st_nrm = -dirs
-    st_spec = jnp.zeros((n, 3), jnp.float32)
+    st_spec = jnp.zeros((3, n))
     st_inst = jnp.full((n,), -1, jnp.int32)
-    st_flow3 = jnp.zeros((n, 3), jnp.float32)
-    st_t = jnp.zeros((n,), jnp.float32)
-    tl_stored = jnp.zeros((n,), bool)  # transparent-light source chosen
-    tl_pos = jnp.zeros((n, 3), jnp.float32)
-    tl_nrm = jnp.zeros((n, 3), jnp.float32)
-    tl_spec = jnp.zeros((n, 3), jnp.float32)
-    tl_inst = jnp.full((n,), -1, jnp.int32)
+    st_flow3 = jnp.zeros((3, n))
+    tl_stored = jnp.zeros((n,), bool)
+    tl_pos = jnp.zeros((3, n))
+    tl_nrm = jnp.zeros((3, n))
+    tl_spec = jnp.zeros((3, n))
+    tl_row = jnp.zeros((R.TROW, n))
 
-    for hslot in range(k1):
-        valid = inst[:, hslot] >= 0
-        alpha_contrib = res_a * hit_alpha[:, hslot]
+    for s in range(k1):
+        color = _slot(shade.color, n, s)  # (4, N)
+        inst = _slot(shade.instance, n, s)
+        normal = _slot(shade.normal, n, s)
+        vspec = _slot(shade.specular, n, s)
+        flow3 = _slot(shade.flow, n, s)
+        grow = _slot(shade.rows_t, n, s)  # (TROW, N)
+        t_s = t_all[s]
+        mat = lambda off: grow[R.T_MAT + off]
+        flags = grow[R.T_FLAGS].astype(jnp.int32)
+
+        valid = inst >= 0
+        ha = color[3]
+        alpha_contrib = res_a * ha
         live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
+        hit_pos = origins + dirs * t_s[None]
 
-        lock_acc = lock_acc + jnp.where(live, lock[:, hslot] * alpha_contrib, 0.0)
+        lock_acc = lock_acc + jnp.where(live, mat(R.M_LOCK) * alpha_contrib, 0.0)
 
-        uses_l = uses_lighting[:, hslot]
-        apply_l = uses_l & (hit_alpha[:, hslot] > APPLY_LIGHTS_MINIMUM_ALPHA)
+        uses_l = ((flags & R.F_HAS_LIGHTING) != 0) & valid
+        apply_l = uses_l & (ha > APPLY_LIGHTS_MINIMUM_ALPHA)
 
-        # Fog folds into transparency (PrimaryRayGen.hlsl:109-113).
-        fa = fog_a[:, hslot]
-        fog_rgb = fog_rgba[:, hslot, :3]
+        # Fog folds into transparency (PrimaryRayGen.hlsl:108-113).
+        fa = jnp.where(
+            mat(R.M_FOG_ENABLED) > 0.0,
+            fog.fog_alpha_from_camera(
+                hit_pos, gp.view, gp.projection, mat(R.M_FOG_MUL),
+                mat(R.M_FOG_OFFSET),
+            ),
+            0.0,
+        )
+        fog_rgb = grow[R.T_MAT + R.M_FOG_COLOR : R.T_MAT + R.M_FOG_COLOR + 3]
         res_transparent = res_transparent + jnp.where(
-            live[:, None], fog_rgb * (fa * alpha_contrib)[:, None], 0.0
+            live[None], fog_rgb * (fa * alpha_contrib)[None], 0.0
         )
         alpha_contrib = alpha_contrib * (1.0 - fa)
 
         # Reflection seed (PrimaryRayGen.hlsl:116-127).
-        has_refl = live & (refl_factor[:, hslot] > EPSILON)
-        fresnel = _fresnel(
-            shade.normal[:, hslot], dirs, refl_factor[:, hslot],
-            fresnel_mult[:, hslot],
-        )
+        refl_f = mat(R.M_REFLECTION)
+        has_refl = live & (refl_f > EPSILON)
+        fresnel = _fresnel(normal, dirs, refl_f, mat(R.M_REFL_FRESNEL))
         reflect_amount = fresnel * alpha_contrib
         refl_alpha = jnp.where(has_refl, reflect_amount, refl_alpha)
         lock_acc = lock_acc + jnp.where(has_refl, reflect_amount, 0.0)
@@ -273,82 +329,70 @@ def _resolve_hits(
         )
 
         # Color accumulation (PrimaryRayGen.hlsl:129-152).
-        color_add = shade.color[:, hslot, :3] * alpha_contrib[:, None]
-        res_rgb = res_rgb + jnp.where((live & apply_l)[:, None], color_add, 0.0)
+        color_add = color[:3] * alpha_contrib[None]
+        res_rgb = res_rgb + jnp.where((live & apply_l)[None], color_add, 0.0)
+        self_l = grow[R.T_MAT + R.M_SELF_LIGHT : R.T_MAT + R.M_SELF_LIGHT + 3]
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
+
         trans_lit = live & uses_l & ~apply_l
-        # Lazy single-light estimate shared by all such hits: remember
-        # the first one (PrimaryRayGen.hlsl:139-147).
         take_tl = trans_lit & ~tl_stored
         tl_stored = tl_stored | take_tl
-        tl_pos = jnp.where(take_tl[:, None], hit_pos[:, hslot], tl_pos)
-        tl_nrm = jnp.where(take_tl[:, None], shade.normal[:, hslot], tl_nrm)
-        tl_spec = jnp.where(
-            take_tl[:, None],
-            sb.mat_f[inst_s[:, hslot], sbuf.MAT_SPECULAR_R : sbuf.MAT_SPECULAR_R + 3]
-            * shade.specular[:, hslot],
-            tl_spec,
-        )
-        tl_inst = jnp.where(take_tl, inst[:, hslot], tl_inst)
-        trans_lit_sum = trans_lit_sum + jnp.where(trans_lit[:, None], color_add, 0.0)
+        tl_pos = jnp.where(take_tl[None], hit_pos, tl_pos)
+        tl_nrm = jnp.where(take_tl[None], normal, tl_nrm)
+        tl_spec = jnp.where(take_tl[None], spec, tl_spec)
+        tl_row = jnp.where(take_tl[None], grow, tl_row)
+        trans_lit_sum = trans_lit_sum + jnp.where(trans_lit[None], color_add, 0.0)
         res_transparent = res_transparent + jnp.where(
-            trans_lit[:, None],
-            color_add * (ambient + self_light[:, hslot]),
-            0.0,
+            trans_lit[None], color_add * (ambient + self_l), 0.0
         )
         plain = live & ~uses_l
         res_transparent = res_transparent + jnp.where(
-            plain[:, None], color_add * (ambient + self_light[:, hslot]), 0.0
+            plain[None], color_add * (ambient + self_l), 0.0
         )
 
-        new_res_a = res_a * (1.0 - hit_alpha[:, hslot])
+        new_res_a = res_a * (1.0 - ha)
 
         # Refraction seed terminates traversal (PrimaryRayGen.hlsl:156-161).
-        has_refr = live & (refr_factor[:, hslot] > EPSILON)
+        has_refr = live & (mat(R.M_REFRACTION) > EPSILON)
         refr_alpha = jnp.where(has_refr, new_res_a, refr_alpha)
         new_res_a = jnp.where(has_refr, 0.0, new_res_a)
         res_a = jnp.where(live, new_res_a, res_a)
 
-        # Primary-hit storage (PrimaryRayGen.hlsl:163-175): first hit
-        # flagged by lighting/reflection/refraction.
+        # Primary-hit storage (PrimaryRayGen.hlsl:163-175).
         store_hit = live & (apply_l | has_refl | has_refr) & ~stored
         stored = stored | store_hit
-        st_pos = jnp.where(store_hit[:, None], hit_pos[:, hslot], st_pos)
-        st_nrm = jnp.where(store_hit[:, None], shade.normal[:, hslot], st_nrm)
-        st_spec = jnp.where(
-            store_hit[:, None],
-            sb.mat_f[inst_s[:, hslot], sbuf.MAT_SPECULAR_R : sbuf.MAT_SPECULAR_R + 3]
-            * shade.specular[:, hslot],
-            st_spec,
-        )
-        st_inst = jnp.where(store_hit, inst[:, hslot], st_inst)
-        st_flow3 = jnp.where(store_hit[:, None], shade.flow[:, hslot], st_flow3)
-        st_t = jnp.where(store_hit, t_all[:, hslot], st_t)
+        st_pos = jnp.where(store_hit[None], hit_pos, st_pos)
+        st_nrm = jnp.where(store_hit[None], normal, st_nrm)
+        st_spec = jnp.where(store_hit[None], spec, st_spec)
+        st_inst = jnp.where(store_hit, inst, st_inst)
+        st_flow3 = jnp.where(store_hit[None], flow3, st_flow3)
+        st_row = jnp.where(store_hit[None], grow, st_row)
 
-    # Shared transparent light (1 light, checkShadows=true).
+    # Shared transparent light (1 light, checkShadows=true,
+    # PrimaryRayGen.hlsl:139-147).
+    tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
     tl_light = lighting.compute_lights_random(
-        sb, world, trace_scene, pix, bn_table, gp.frame_count,
-        dirs, tl_inst, tl_pos, tl_nrm, tl_spec,
+        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+        dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
     )
     res_transparent = res_transparent + trans_lit_sum * tl_light
 
-    # Motion flow: stored hit or background (PrimaryRayGen.hlsl:52-56,164-170).
-    res_px = jnp.asarray([cfg.rt_width, cfg.rt_height], jnp.float32)
-    bg_position = origin_bg = origins + dirs * tracer.RAY_MAX_DISTANCE
-    prev_bg = math3d.world_to_screen(gp.prev_view_proj, bg_position)
-    cur_bg = math3d.world_to_screen(gp.view_proj, bg_position)
-    flow_bg = (cur_bg - prev_bg) * res_px
-    prev_pos = math3d.world_to_screen(gp.prev_view_proj, st_pos - st_flow3)
-    cur_pos = math3d.world_to_screen(gp.view_proj, st_pos)
-    flow_hit = (cur_pos - prev_pos) * res_px
-    flow = jnp.where(stored[:, None], flow_hit, flow_bg)
-    flow = jnp.stack([-flow[:, 0], flow[:, 1]], axis=-1)  # hlsl:194
+    # Motion flow (PrimaryRayGen.hlsl:52-56, 163-175, 194).
+    bg_pos = origins + dirs * tracer.RAY_MAX_DISTANCE
+    pu, pv = world_to_screen(gp.prev_view_proj, bg_pos)
+    cu, cv = world_to_screen(gp.view_proj, bg_pos)
+    flow_bg_x = (cu - pu) * cfg.rt_width
+    flow_bg_y = (cv - pv) * cfg.rt_height
+    pu2, pv2 = world_to_screen(gp.prev_view_proj, st_pos - st_flow3)
+    cu2, cv2 = world_to_screen(gp.view_proj, st_pos)
+    flow_x = jnp.where(stored, (cu2 - pu2) * cfg.rt_width, flow_bg_x)
+    flow_y = jnp.where(stored, (cv2 - pv2) * cfg.rt_height, flow_bg_y)
+    flow = jnp.stack([-flow_x, flow_y], 0)  # gFlow sign flip (hlsl:194)
 
-    proj_pos = math3d.transform_points_h(st_pos, gp.view_proj)
-    depth = jnp.where(stored, proj_pos[:, 2] / proj_pos[:, 3], 1.0)
-
-    reactive = jnp.minimum(res_transparent.max(axis=-1), 0.9)
+    depth = jnp.where(stored, _screen_depth(gp.view_proj, st_pos), 1.0)
+    reactive = jnp.minimum(res_transparent.max(axis=0), 0.9)
     lock_mask = jnp.where(
         gp.binary_lock_mask,
         (lock_acc > 0.5).astype(jnp.float32),
@@ -356,497 +400,460 @@ def _resolve_hits(
     )
 
     # Background blend (PrimaryRayGen.hlsl:183-185).
-    res_rgb = res_rgb + bg_color * res_a[:, None]
-    diffuse = jnp.concatenate([res_rgb, (1.0 - res_a)[:, None]], axis=-1)
-
+    res_rgb = res_rgb + bg_color * res_a[None]
     return GBuffers(
-        view_direction=dirs,
-        shading_position=st_pos,
-        shading_normal=st_nrm,
-        shading_specular=st_spec,
-        diffuse=diffuse,
-        instance_id=st_inst,
+        view_dir=dirs,
+        position=st_pos,
+        normal=st_nrm,
+        specular=st_spec,
+        diffuse_rgb=res_rgb,
+        diffuse_a=1.0 - res_a,
+        instance=st_inst,
         transparent=res_transparent,
         flow=flow,
-        reactive_mask=reactive,
-        lock_mask=lock_mask,
+        reactive=reactive,
+        lock=lock_mask,
         depth=depth,
-        reflection_alpha=refl_alpha,
-        refraction_alpha=refr_alpha,
+        refl_alpha=refl_alpha,
+        refr_alpha=refr_alpha,
+        row=st_row,
     )
-
-
-def _fresnel(normal, incident, reflectivity, fresnel_multiplier):
-    """FresnelReflectAmount (PrimaryRayGen.hlsl:26-30)."""
-    d = jnp.sum(normal * incident, axis=-1)
-    ret = jnp.power(jnp.clip(1.0 + d, EPSILON, 1.0), 5.0)
-    return reflectivity + (1.0 - reflectivity) * ret * fresnel_multiplier
-
-
-def _trace_and_shade(
-    sb, world, trace_scene, origins, dirs, t_min, t_max, k_alpha,
-    noise_rand, cfg, cull_backface=True,
-):
-    """Trace + shade + assemble ordered K+1 hit slots (alpha..., opaque)."""
-    hits = tracer.trace(
-        origins, dirs, t_min, t_max, trace_scene,
-        k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
-    )
-    tri_all = jnp.concatenate([hits.tri_a, hits.tri_op[:, None]], axis=1)
-    uv_all = jnp.concatenate([hits.uv_a, hits.uv_op[:, None, :]], axis=1)
-    t_all = jnp.concatenate([hits.t_a, hits.t_op[:, None]], axis=1)
-    shade = shade_ops.shade_hits(
-        sb, world, dirs[:, None, :], tri_all, uv_all, noise_rand[:, None]
-    )
-    return shade, t_all
-
-
-def _simple_resolve(sb, shade, t_all, origins, dirs):
-    """Secondary-ray resolve (IndirectRayGen.hlsl:95-117 and friends):
-    accumulate color front-to-back, remember the last contributing hit."""
-    n, k1 = t_all.shape
-    inst = shade.instance
-    res_a = jnp.ones((n,), jnp.float32)
-    res_rgb = jnp.zeros((n, 3), jnp.float32)
-    res_pos = jnp.zeros((n, 3), jnp.float32)
-    res_nrm = jnp.zeros((n, 3), jnp.float32)
-    res_spec = jnp.zeros((n, 3), jnp.float32)
-    res_inst = jnp.full((n,), -1, jnp.int32)
-    for hslot in range(k1):
-        valid = inst[:, hslot] >= 0
-        ha = shade.color[:, hslot, 3]
-        alpha_contrib = res_a * ha
-        live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        hit_pos = origins + dirs * t_all[:, hslot, None]
-        spec = (
-            sb.mat_f[jnp.maximum(inst[:, hslot], 0),
-                     sbuf.MAT_SPECULAR_R : sbuf.MAT_SPECULAR_R + 3]
-            * shade.specular[:, hslot]
-        )
-        res_rgb = res_rgb + jnp.where(
-            live[:, None], shade.color[:, hslot, :3] * alpha_contrib[:, None], 0.0
-        )
-        res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
-        res_pos = jnp.where(live[:, None], hit_pos, res_pos)
-        res_nrm = jnp.where(live[:, None], shade.normal[:, hslot], res_nrm)
-        res_spec = jnp.where(live[:, None], spec, res_spec)
-        res_inst = jnp.where(live, inst[:, hslot], res_inst)
-    return res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst
 
 
 def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg):
-    """Temporal reprojection weights (DirectRayGen.hlsl:35-48).
-
-    prev_buf: (H, W, 4); returns (prev_rgb (N,3), history_len (N,)).
-    """
+    """Temporal reprojection (DirectRayGen.hlsl:35-48)."""
     h, w = cfg.rt_height, cfg.rt_width
     pix = _pixel_grid(cfg).astype(jnp.float32)
-    prev_idx = jnp.floor(pix + 0.5 + flow).astype(jnp.int32)  # int2(x + .5 + flow)
-    px = prev_idx[:, 0]
-    py = prev_idx[:, 1]
+    px = jnp.floor(pix[:, 0] + 0.5 + flow[0]).astype(jnp.int32)
+    py = jnp.floor(pix[:, 1] + 0.5 + flow[1]).astype(jnp.int32)
     inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-    pxc = jnp.clip(px, 0, w - 1)
-    pyc = jnp.clip(py, 0, h - 1)
-    p_depth = jnp.where(inb, prev_depth[pyc, pxc], 0.0)
-    p_normal = jnp.where(inb[:, None], prev_normal[pyc, pxc], 0.0)
-    p_accum = jnp.where(inb[:, None], prev_buf[pyc, pxc], 0.0)
+    flat = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+    p_depth = jnp.where(inb, prev_depth[flat], 0.0)
+    p_normal = jnp.where(inb[None], prev_normal[:, flat], 0.0)
+    p_accum = jnp.where(inb[None], prev_buf[:, flat], 0.0)
     weight_depth = jnp.abs(depth - p_depth) / 0.01
-    weight_normal = jnp.power(
-        jnp.maximum(jnp.sum(p_normal * normal, axis=-1), 0.0), 128.0
-    )
+    weight_normal = jnp.power(jnp.maximum(vm.dot(p_normal, normal), 0.0), 128.0)
     history_weight = jnp.exp(-weight_depth) * weight_normal
-    return p_accum[:, :3], p_accum[:, 3] * history_weight
+    return p_accum[:3], p_accum[3] * history_weight
 
 
 def direct_pass(
-    sb, world, trace_scene, cfg, gp, g: GBuffers, hist: History,
-    pix, bn_table, noise_rand, dirs_view,
+    sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, hist: History,
+    pix, bn_table, noise_rand,
 ):
-    """DirectRayGen.hlsl:14-65."""
-    n = g.instance_id.shape[0]
-    no_hit = g.instance_id < 0
+    """DirectRayGen.hlsl:14-65. Returns (4, N) accumulation."""
+    n = g.instance.shape[0]
+    no_hit = g.instance < 0
 
-    new_direct = jnp.zeros((n, 3), jnp.float32)
-    hist_len = jnp.zeros((n,), jnp.float32)
     prev_rgb, prev_len = _reproject(
-        hist.direct, hist.depth, hist.normal, g.depth, g.shading_normal,
-        g.flow, cfg,
+        hist.direct, hist.depth, hist.normal, g.depth, g.normal, g.flow, cfg
     )
-    new_direct = jnp.where(gp.di_reproject, prev_rgb, new_direct)
-    hist_len = jnp.where(gp.di_reproject, prev_len, hist_len)
+    new_direct = jnp.where(gp.di_reproject, prev_rgb, jnp.zeros((3, n)))
+    hist_len = jnp.where(gp.di_reproject, prev_len, jnp.zeros((n,)))
 
+    ctx = lighting.ctx_from_rows(g.row, g.instance >= 0)
     res = lighting.compute_lights_random(
-        sb, world, trace_scene, pix, bn_table, gp.frame_count,
-        dirs_view, g.instance_id, g.shading_position, g.shading_normal,
-        g.shading_specular,
+        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+        g.view_dir, g.position, g.normal, g.specular, ctx,
         max_light_count=cfg.max_lights, di_samples=cfg.di_samples,
         check_shadows=True, noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
     )
-    inst_s = jnp.maximum(g.instance_id, 0)
-    res = res + sb.mat_f[inst_s, sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
+    res = res + ctx.self_light
 
-    # Eye light (DirectRayGen.hlsl:53-58) — note the reference uses the
-    # non-normalized per-pixel ray direction; we keep that behavior.
-    spec_exp = sb.mat_f[inst_s, sbuf.MAT_SPECULAR_EXP]
-    lambert = jnp.maximum(jnp.sum(g.shading_normal * -dirs_view, axis=-1), 0.0)
-    reflected = dirs_view - 2.0 * jnp.sum(
-        dirs_view * g.shading_normal, axis=-1, keepdims=True
-    ) * g.shading_normal
-    sdot = jnp.clip(jnp.sum(reflected * -dirs_view, axis=-1), 0.0, 1.0)
-    spec_f = g.shading_specular * jnp.power(sdot, spec_exp)[:, None]
-    res = res + gp.eye_light_diffuse * lambert[:, None] + gp.eye_light_specular * spec_f
+    # Eye light (DirectRayGen.hlsl:53-58) — keeps the reference's
+    # non-normalized per-pixel ray direction.
+    lambert = jnp.maximum(vm.dot(g.normal, -g.view_dir), 0.0)
+    reflected = vm.reflect(g.view_dir, g.normal)
+    sdot = jnp.clip(vm.dot(reflected, -g.view_dir), 0.0, 1.0)
+    spec_f = g.specular * jnp.power(sdot, ctx.spec_exp)[None]
+    res = (
+        res
+        + vm.splat(gp.eye_light_diffuse, res) * lambert[None]
+        + vm.splat(gp.eye_light_specular, res) * spec_f
+    )
 
     hist_len = jnp.minimum(hist_len + 1.0, 64.0)
-    new_direct = new_direct + (res - new_direct) / hist_len[:, None]
-    out = jnp.concatenate([new_direct, hist_len[:, None]], axis=-1)
-    return jnp.where(no_hit[:, None], jnp.asarray([1.0, 1.0, 1.0, 0.0]), out)
+    new_direct = new_direct + (res - new_direct) / hist_len[None]
+    out = jnp.concatenate([new_direct, hist_len[None]], 0)
+    miss = jnp.concatenate([jnp.ones((3, n)), jnp.zeros((1, n))], 0)
+    return jnp.where(no_hit[None], miss, out)
+
+
+def _simple_resolve(shade, t_all, k1, origins, dirs):
+    """Secondary-ray resolve (IndirectRayGen.hlsl:95-117): accumulate
+    color front-to-back, remember the last contributing hit."""
+    n = dirs.shape[1]
+    res_a = jnp.ones((n,))
+    res_rgb = jnp.zeros((3, n))
+    res_pos = jnp.zeros((3, n))
+    res_nrm = jnp.zeros((3, n))
+    res_spec = jnp.zeros((3, n))
+    res_row = jnp.zeros((R.TROW, n))
+    res_inst = jnp.full((n,), -1, jnp.int32)
+    for s in range(k1):
+        color = _slot(shade.color, n, s)
+        inst = _slot(shade.instance, n, s)
+        normal = _slot(shade.normal, n, s)
+        vspec = _slot(shade.specular, n, s)
+        grow = _slot(shade.rows_t, n, s)
+        valid = inst >= 0
+        ha = color[3]
+        alpha_contrib = res_a * ha
+        live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
+        hit_pos = origins + dirs * t_all[s][None]
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
+        res_rgb = res_rgb + jnp.where(live[None], color[:3] * alpha_contrib[None], 0.0)
+        res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
+        res_pos = jnp.where(live[None], hit_pos, res_pos)
+        res_nrm = jnp.where(live[None], normal, res_nrm)
+        res_spec = jnp.where(live[None], spec, res_spec)
+        res_row = jnp.where(live[None], grow, res_row)
+        res_inst = jnp.where(live, inst, res_inst)
+    return res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row
 
 
 def indirect_pass(
-    sb, world, trace_scene, cfg, gp, g: GBuffers, hist: History,
-    pix, bn_table, noise_rand, bg_image,
+    sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, hist: History,
+    pix, bn_table, noise_rand, bg_planes,
 ):
     """IndirectRayGen.hlsl:31-137: 1-bounce blue-noise diffuse GI."""
-    n = g.instance_id.shape[0]
-    ambient = gp.ambient_base + gp.ambient_no_gi
+    n = g.instance.shape[0]
+    ambient3 = gp.ambient_base + gp.ambient_no_gi
     if cfg.gi_samples <= 0:
-        base = jnp.broadcast_to(ambient, (n, 3))
-        return jnp.concatenate([base, jnp.zeros((n, 1))], axis=-1)
+        base = jnp.broadcast_to(ambient3[:, None], (3, n))
+        return jnp.concatenate([base, jnp.zeros((1, n))], 0)
 
-    active = g.instance_id >= 0
-    origin = g.shading_position
-    normal = g.shading_normal
+    ambient = vm.splat(ambient3, g.normal) * jnp.ones((3, n))
+    active = g.instance >= 0
+    origin = g.position
+    normal = g.normal
 
-    new_indirect = jnp.zeros((n, 3), jnp.float32)
-    hist_len = jnp.zeros((n,), jnp.float32)
     prev_rgb, prev_len = _reproject(
         hist.indirect, hist.depth, hist.normal, g.depth, normal, g.flow, cfg
     )
-    new_indirect = jnp.where(gp.gi_reproject, prev_rgb, new_indirect)
-    hist_len = jnp.where(gp.gi_reproject, prev_len, hist_len)
+    new_indirect = jnp.where(gp.gi_reproject, prev_rgb, jnp.zeros((3, n)))
+    hist_len = jnp.where(gp.gi_reproject, prev_len, jnp.zeros((n,)))
 
     blue_noise_mult = 64 // cfg.gi_samples
+    t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
+    t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
 
     def gi_body(carry, s):
         new_indirect, hist_len = carry
         bn = bluenoise.get_blue_noise(
             bn_table, pix, gp.frame_count + s * blue_noise_mult
         )
-        ray_dir = rnd.cos_hemisphere_sample(bn[:, :2], normal)
-        t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
-        t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
-        shade, t_all = _trace_and_shade(
-            sb, world, trace_scene, origin, ray_dir, t_min, t_max,
+        ray_dir = _cos_hemisphere(bn[..., 0], bn[..., 1], normal)
+        shade, t_all, k1 = _trace_and_shade(
+            sb, tri_rows, trace_scene, origin, ray_dir, t_min, t_max,
             cfg.k_secondary, noise_rand, cfg,
         )
-        res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst = _simple_resolve(
-            sb, shade, t_all, origin, ray_dir
+        res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row = (
+            _simple_resolve(shade, t_all, k1, origin, ray_dir)
         )
 
-        bg = sky.sample_background_env(bg_image, ray_dir)
+        bg = sky.sample_background_env(bg_planes, ray_dir)
         sky_c = sky.sample_sky_plane(
-            sb.tex_pool, sb.tex_records, gp.sky_plane_tex_index, ray_dir,
+            sb.quad_pool, sb.quad_records,
+            jnp.broadcast_to(gp.sky_plane_rec, (n,)), ray_dir,
             gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
         )
-        bg = bg * (1.0 - sky_c[:, 3:4]) + sky_c[:, :3] * sky_c[:, 3:4]
+        bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
 
         # 1-light direct estimate at the bounce (IndirectRayGen.hlsl:121-127).
+        ctx = lighting.ctx_from_rows(res_row, res_inst >= 0)
         direct_b = lighting.compute_lights_random(
-            sb, world, trace_scene, pix, bn_table, gp.frame_count,
-            ray_dir, res_inst, res_pos, res_nrm, res_spec,
+            sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+            ray_dir, res_pos, res_nrm, res_spec, ctx,
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         )
-        inst_s = jnp.maximum(res_inst, 0)
-        self_l = sb.mat_f[inst_s, sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
         bounce = (
-            res_rgb * (1.0 - res_a)[:, None]
-            * (ambient + direct_b + self_l)
+            res_rgb * (1.0 - res_a)[None]
+            * (ambient + direct_b + ctx.self_light)
             * gp.gi_diffuse_strength
         )
-        res_ind = ambient + jnp.where((res_inst >= 0)[:, None], bounce, 0.0)
-        res_ind = res_ind + bg * gp.gi_sky_strength * res_a[:, None]
+        res_ind = ambient + jnp.where((res_inst >= 0)[None], bounce, 0.0)
+        res_ind = res_ind + bg * gp.gi_sky_strength * res_a[None]
 
-        hist_len = jnp.minimum(hist_len + 1.0, 64.0)
-        new_indirect = new_indirect + (res_ind - new_indirect) / hist_len[:, None]
-        return (new_indirect, hist_len), None
+        hist_len2 = jnp.minimum(hist_len + 1.0, 64.0)
+        new_indirect2 = new_indirect + (res_ind - new_indirect) / hist_len2[None]
+        return (new_indirect2, hist_len2), None
 
     (new_indirect, hist_len), _ = jax.lax.scan(
         gi_body, (new_indirect, hist_len),
         jnp.arange(cfg.gi_samples, 0, -1, dtype=jnp.int32),
     )
-    out = jnp.concatenate([new_indirect, hist_len[:, None]], axis=-1)
+    out = jnp.concatenate([new_indirect, hist_len[None]], 0)
     fallback = jnp.concatenate(
-        [jnp.broadcast_to(ambient, (n, 3)), jnp.zeros((n, 1))], axis=-1
+        [jnp.broadcast_to(ambient3[:, None], (3, n)), jnp.zeros((1, n))], 0
     )
-    return jnp.where(active[:, None], out, fallback)
+    return jnp.where(active[None], out, fallback)
+
+
+def _cos_hemisphere(r1, r2, normal):
+    """getCosHemisphereSampleBlueNoise (IndirectRayGen.hlsl:17-29), planar."""
+    a = jnp.abs(normal)
+    xm = ((a[0] - a[1]) < 0) & ((a[0] - a[2]) < 0)
+    ym = ((a[1] - a[2]) < 0) & ~xm
+    zm = ~(xm | ym)
+    basis = jnp.stack(
+        [xm.astype(normal.dtype), ym.astype(normal.dtype), zm.astype(normal.dtype)],
+        0,
+    )
+    bitangent = vm.cross(normal, basis)
+    tangent = vm.cross(bitangent, normal)
+    r = jnp.sqrt(r1)
+    phi = 2.0 * jnp.pi * r2
+    return (
+        tangent * (r * jnp.cos(phi))[None]
+        + bitangent * (r * jnp.sin(phi))[None]
+        + normal * jnp.sqrt(jnp.maximum(0.0, 1.0 - r1))[None]
+    )
+
+
+def _lit_secondary_resolve(
+    sb, gp, shade, t_all, k1, origins, dirs, fog_mode, store_any,
+):
+    """Reflection/refraction hit resolve with fog + lighting split
+    (ReflectionRayGen.hlsl:68-126, RefractionRayGen.hlsl:63-110)."""
+    n = dirs.shape[1]
+    ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
+    res_a = jnp.ones((n,))
+    res_rgb = jnp.zeros((3, n))
+    res_transparent = jnp.zeros((3, n))
+    res_pos = jnp.zeros((3, n))
+    res_nrm = jnp.zeros((3, n))
+    res_spec = jnp.zeros((3, n))
+    res_row = jnp.zeros((R.TROW, n))
+    res_inst = jnp.full((n,), -1, jnp.int32)
+    for s in range(k1):
+        color = _slot(shade.color, n, s)
+        inst = _slot(shade.instance, n, s)
+        normal = _slot(shade.normal, n, s)
+        vspec = _slot(shade.specular, n, s)
+        grow = _slot(shade.rows_t, n, s)
+        mat = lambda off: grow[R.T_MAT + off]
+        flags = grow[R.T_FLAGS].astype(jnp.int32)
+        valid = inst >= 0
+        ha = color[3]
+        alpha_contrib = res_a * ha
+        live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
+        hit_pos = origins + dirs * t_all[s][None]
+        if fog_mode == "camera":
+            fa = fog.fog_alpha_from_camera(
+                hit_pos, gp.view, gp.projection, mat(R.M_FOG_MUL),
+                mat(R.M_FOG_OFFSET),
+            )
+        else:
+            fa = fog.fog_alpha_from_origin(
+                hit_pos, origins, mat(R.M_FOG_MUL), mat(R.M_FOG_OFFSET)
+            )
+        fa = jnp.where(mat(R.M_FOG_ENABLED) > 0.0, fa, 0.0)
+        fog_rgb = grow[R.T_MAT + R.M_FOG_COLOR : R.T_MAT + R.M_FOG_COLOR + 3]
+        res_transparent = res_transparent + jnp.where(
+            live[None], fog_rgb * (fa * alpha_contrib)[None], 0.0
+        )
+        alpha_contrib = alpha_contrib * (1.0 - fa)
+        color_add = color[:3] * alpha_contrib[None]
+        uses_l = ((flags & R.F_HAS_LIGHTING) != 0) & valid
+        lit = live & uses_l
+        self_l = grow[R.T_MAT + R.M_SELF_LIGHT : R.T_MAT + R.M_SELF_LIGHT + 3]
+        res_rgb = res_rgb + jnp.where(lit[None], color_add, 0.0)
+        res_transparent = res_transparent + jnp.where(
+            (live & ~uses_l)[None], color_add * (ambient + self_l), 0.0
+        )
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
+        # Refraction stores only lit hits (RefractionRayGen.hlsl:84-93);
+        # reflection stores any live hit (ReflectionRayGen.hlsl:114-118).
+        store = live if store_any else lit
+        res_pos = jnp.where(store[None], hit_pos, res_pos)
+        res_nrm = jnp.where(store[None], normal, res_nrm)
+        res_spec = jnp.where(store[None], spec, res_spec)
+        res_row = jnp.where(store[None], grow, res_row)
+        res_inst = jnp.where(store, inst, res_inst)
+        res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
+    return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
+            res_transparent)
 
 
 def refraction_pass(
-    sb, world, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
-    noise_rand, bg_image, screen_uv,
+    sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
+    noise_rand, bg_planes, screen_u, screen_v,
 ):
-    """RefractionRayGen.hlsl:17-117. Returns refraction rgb (N, 3)."""
-    n = g.instance_id.shape[0]
-    inst_s = jnp.maximum(g.instance_id, 0)
-    active = (g.instance_id >= 0) & (g.refraction_alpha > EPSILON)
-    eta = sb.mat_f[inst_s, sbuf.MAT_REFRACTION]
-    ray_dir = _refract(g.view_direction, g.shading_normal, eta)
+    """RefractionRayGen.hlsl:17-117. Returns (3, N)."""
+    n = g.instance.shape[0]
+    active = (g.instance >= 0) & (g.refr_alpha > EPSILON)
+    eta = g.row[R.T_MAT + R.M_REFRACTION]
+    ray_dir = _refract(g.view_dir, g.normal, eta)
 
-    bg = sky.sample_background_2d(bg_image, screen_uv)
+    bg = sky.sample_background_2d(bg_planes, screen_u, screen_v)
     sky_c = sky.sample_sky_2d(
-        sb.tex_pool, sb.tex_records, gp.sky_plane_tex_index, screen_uv,
+        sb.quad_pool, sb.quad_records,
+        jnp.broadcast_to(gp.sky_plane_rec, (n,)), screen_u, screen_v,
         gp.view_i, jnp.asarray([cfg.display_width, cfg.display_height], jnp.float32),
         gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
     )
-    bg = bg * (1.0 - sky_c[:, 3:4]) + sky_c[:, :3] * sky_c[:, 3:4]
+    bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
-    shade, t_all = _trace_and_shade(
-        sb, world, trace_scene, g.shading_position, ray_dir, t_min, t_max,
+    shade, t_all, k1 = _trace_and_shade(
+        sb, tri_rows, trace_scene, g.position, ray_dir, t_min, t_max,
         cfg.k_secondary, noise_rand, cfg,
     )
-    rgb, res_a, pos, nrm, spec, inst, transparent = _lit_secondary_resolve(
-        sb, gp, shade, t_all, g.shading_position, ray_dir, fog_mode="camera",
-        view=gp.view, projection=gp.projection,
+    (rgb, res_a, pos, nrm, spec, inst, row, transparent) = _lit_secondary_resolve(
+        sb, gp, shade, t_all, k1, g.position, ray_dir, fog_mode="camera",
+        store_any=False,
     )
+    ctx = lighting.ctx_from_rows(row, inst >= 0)
     direct = lighting.compute_lights_random(
-        sb, world, trace_scene, pix, bn_table, gp.frame_count,
-        ray_dir, inst, pos, nrm, spec,
+        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+        ray_dir, pos, nrm, spec, ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
     )
-    ambient = gp.ambient_base + gp.ambient_no_gi
-    self_l = sb.mat_f[jnp.maximum(inst, 0), sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
-    rgb = jnp.where(
-        (inst >= 0)[:, None], rgb * (ambient + direct + self_l), rgb
-    )
-    rgb = rgb + bg * res_a[:, None] + transparent
-    return jnp.where(active[:, None], rgb * g.refraction_alpha[:, None], 0.0)
+    ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
+    rgb = jnp.where((inst >= 0)[None], rgb * (ambient + direct + ctx.self_light), rgb)
+    rgb = rgb + bg * res_a[None] + transparent
+    return jnp.where(active[None], rgb * g.refr_alpha[None], 0.0)
 
 
 def _refract(d, n, eta):
     """HLSL refract(i, n, eta) with non-normalized i (bug-compatible)."""
-    ndi = jnp.sum(n * d, axis=-1, keepdims=True)
-    k = 1.0 - eta[:, None] ** 2 * (1.0 - ndi**2)
-    out = eta[:, None] * d - (eta[:, None] * ndi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
-    return jnp.where(k >= 0.0, out, 0.0)
-
-
-def _lit_secondary_resolve(sb, gp, shade, t_all, origins, dirs, fog_mode, view, projection, store_any=False):
-    """Reflection/refraction hit resolve with fog + lighting split
-    (ReflectionRayGen.hlsl:68-126, RefractionRayGen.hlsl:63-110)."""
-    n, k1 = t_all.shape
-    inst = shade.instance
-    inst_s = jnp.maximum(inst, 0)
-    mat_f = sb.mat_f[inst_s]
-    uses_lighting = (sb.light_groups_inst[inst_s] > 0) & (inst >= 0)
-    ambient = gp.ambient_base + gp.ambient_no_gi
-    self_light = mat_f[..., sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
-
-    hit_pos = origins[:, None, :] + dirs[:, None, :] * t_all[..., None]
-    if fog_mode == "camera":
-        fog_rgba = fog.fog_from_camera(
-            hit_pos, view, projection,
-            mat_f[..., sbuf.MAT_FOG_R : sbuf.MAT_FOG_R + 3],
-            mat_f[..., sbuf.MAT_FOG_MUL], mat_f[..., sbuf.MAT_FOG_OFFSET],
-        )
-    else:
-        fog_rgba = fog.fog_from_origin(
-            hit_pos, origins[:, None, :],
-            mat_f[..., sbuf.MAT_FOG_R : sbuf.MAT_FOG_R + 3],
-            mat_f[..., sbuf.MAT_FOG_MUL], mat_f[..., sbuf.MAT_FOG_OFFSET],
-        )
-    fog_a = jnp.where(mat_f[..., sbuf.MAT_FOG_ENABLED] > 0.0, fog_rgba[..., 3], 0.0)
-
-    res_a = jnp.ones((n,), jnp.float32)
-    res_rgb = jnp.zeros((n, 3), jnp.float32)
-    res_transparent = jnp.zeros((n, 3), jnp.float32)
-    res_pos = jnp.zeros((n, 3), jnp.float32)
-    res_nrm = jnp.zeros((n, 3), jnp.float32)
-    res_spec = jnp.zeros((n, 3), jnp.float32)
-    res_inst = jnp.full((n,), -1, jnp.int32)
-    for hslot in range(k1):
-        valid = inst[:, hslot] >= 0
-        ha = shade.color[:, hslot, 3]
-        alpha_contrib = res_a * ha
-        live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        fa = fog_a[:, hslot]
-        res_transparent = res_transparent + jnp.where(
-            live[:, None], fog_rgba[:, hslot, :3] * (fa * alpha_contrib)[:, None], 0.0
-        )
-        alpha_contrib = alpha_contrib * (1.0 - fa)
-        color_add = shade.color[:, hslot, :3] * alpha_contrib[:, None]
-        lit = live & uses_lighting[:, hslot]
-        res_rgb = res_rgb + jnp.where(lit[:, None], color_add, 0.0)
-        res_transparent = res_transparent + jnp.where(
-            (live & ~uses_lighting[:, hslot])[:, None],
-            color_add * (ambient + self_light[:, hslot]),
-            0.0,
-        )
-        spec = (
-            mat_f[:, hslot, sbuf.MAT_SPECULAR_R : sbuf.MAT_SPECULAR_R + 3]
-            * shade.specular[:, hslot]
-        )
-        # Refraction stores only lit hits (RefractionRayGen.hlsl:84-93);
-        # reflection stores any live hit (ReflectionRayGen.hlsl:114-118).
-        store = live if store_any else lit
-        res_pos = jnp.where(store[:, None], hit_pos[:, hslot], res_pos)
-        res_nrm = jnp.where(store[:, None], shade.normal[:, hslot], res_nrm)
-        res_spec = jnp.where(store[:, None], spec, res_spec)
-        res_inst = jnp.where(store, inst[:, hslot], res_inst)
-        res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
-    return res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_transparent
+    ndi = vm.dot(n, d)
+    k = 1.0 - eta * eta * (1.0 - ndi * ndi)
+    out = d * eta[None] - n * (eta * ndi + jnp.sqrt(jnp.maximum(k, 0.0)))[None]
+    return jnp.where((k >= 0.0)[None], out, 0.0)
 
 
 def reflection_pass(
-    sb, world, trace_scene, cfg, gp, g: GBuffers, refl_state,
-    pix, bn_table, noise_rand,
-    bg_image,
+    sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, refl_state,
+    pix, bn_table, noise_rand, bg_planes,
 ):
     """One ReflectionRayGen iteration (ReflectionRayGen.hlsl:25-143).
 
-    refl_state = (reflection_rgb, reflection_alpha, shading_position,
-    view_direction, shading_normal, instance_id) — the pass mutates the
-    shading buffers in place for the next bounce
-    (ReflectionRayGen.hlsl:117-124), which the host loops
-    max_reflections times (rt64_view.cpp:1417-1436).
+    refl_state = (rgb, alpha, position, view_dir, normal, inst, row);
+    the pass mutates the shading state in place for the next bounce
+    (ReflectionRayGen.hlsl:117-124), looped max_reflections times
+    (rt64_view.cpp:1417-1436).
     """
-    refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id = refl_state
+    refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row = refl_state
     n = inst_id.shape[0]
-    inst_s = jnp.maximum(inst_id, 0)
     active = (inst_id >= 0) & (refl_a > EPSILON)
+    ray_dir = vm.reflect(view_dir, sh_nrm)
 
-    ray_dir = view_dir - 2.0 * jnp.sum(
-        view_dir * sh_nrm, axis=-1, keepdims=True
-    ) * sh_nrm  # reflect()
-
-    bg = sky.sample_background_env(bg_image, ray_dir)
+    bg = sky.sample_background_env(bg_planes, ray_dir)
     sky_c = sky.sample_sky_plane(
-        sb.tex_pool, sb.tex_records, gp.sky_plane_tex_index, ray_dir,
+        sb.quad_pool, sb.quad_records,
+        jnp.broadcast_to(gp.sky_plane_rec, (n,)), ray_dir,
         gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
     )
-    bg = bg * (1.0 - sky_c[:, 3:4]) + sky_c[:, :3] * sky_c[:, 3:4]
+    bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
-    shade, t_all = _trace_and_shade(
-        sb, world, trace_scene, sh_pos, ray_dir, t_min, t_max,
+    shade, t_all, k1 = _trace_and_shade(
+        sb, tri_rows, trace_scene, sh_pos, ray_dir, t_min, t_max,
         cfg.k_secondary, noise_rand, cfg,
     )
 
-    # Per-hit loop with fresnel accumulation for the next bounce.
-    hit_inst = shade.instance
-    hit_inst_s = jnp.maximum(hit_inst, 0)
-    mat_f = sb.mat_f[hit_inst_s]
-    uses_lighting = (sb.light_groups_inst[hit_inst_s] > 0) & (hit_inst >= 0)
-    ambient = gp.ambient_base + gp.ambient_no_gi
-    self_light = mat_f[..., sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
-    hit_pos = sh_pos[:, None, :] + ray_dir[:, None, :] * t_all[..., None]
-    fog_rgba = fog.fog_from_origin(
-        hit_pos, sh_pos[:, None, :],
-        mat_f[..., sbuf.MAT_FOG_R : sbuf.MAT_FOG_R + 3],
-        mat_f[..., sbuf.MAT_FOG_MUL], mat_f[..., sbuf.MAT_FOG_OFFSET],
-    )
-    fog_a = jnp.where(mat_f[..., sbuf.MAT_FOG_ENABLED] > 0.0, fog_rgba[..., 3], 0.0)
+    ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, ray_dir)
     # Bug-compatible: the fresnel multiplier reads the *primary* pixel's
-    # material, not the hit's (ReflectionRayGen.hlsl:100).
-    primary_fresnel_mult = sb.mat_f[inst_s, sbuf.MAT_REFLECTION_FRESNEL]
-
-    res_a = jnp.ones((n,), jnp.float32)
-    res_rgb = jnp.zeros((n, 3), jnp.float32)
-    res_transparent = jnp.zeros((n, 3), jnp.float32)
-    res_pos = jnp.zeros((n, 3), jnp.float32)
-    res_nrm = jnp.zeros((n, 3), jnp.float32)
-    res_spec = jnp.zeros((n, 3), jnp.float32)
+    # material (ReflectionRayGen.hlsl:100).
+    primary_fresnel = sh_row[R.T_MAT + R.M_REFL_FRESNEL]
+    res_a = jnp.ones((n,))
+    res_rgb = jnp.zeros((3, n))
+    res_transparent = jnp.zeros((3, n))
+    res_pos = jnp.zeros((3, n))
+    res_nrm = jnp.zeros((3, n))
+    res_spec = jnp.zeros((3, n))
+    res_row = jnp.zeros((R.TROW, n))
     res_inst = jnp.full((n,), -1, jnp.int32)
-    new_refl_a = jnp.zeros((n,), jnp.float32)
-    k1 = t_all.shape[1]
-    for hslot in range(k1):
-        valid = hit_inst[:, hslot] >= 0
-        ha = shade.color[:, hslot, 3]
+    new_refl_a = jnp.zeros((n,))
+    for s in range(k1):
+        color = _slot(shade.color, n, s)
+        inst = _slot(shade.instance, n, s)
+        normal = _slot(shade.normal, n, s)
+        vspec = _slot(shade.specular, n, s)
+        grow = _slot(shade.rows_t, n, s)
+        mat = lambda off: grow[R.T_MAT + off]
+        flags = grow[R.T_FLAGS].astype(jnp.int32)
+        valid = inst >= 0
+        ha = color[3]
         alpha_contrib = res_a * ha
         live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        fa = fog_a[:, hslot]
+        hit_pos = sh_pos + ray_dir * t_all[s][None]
+        fa = jnp.where(
+            mat(R.M_FOG_ENABLED) > 0.0,
+            fog.fog_alpha_from_origin(
+                hit_pos, sh_pos, mat(R.M_FOG_MUL), mat(R.M_FOG_OFFSET)
+            ),
+            0.0,
+        )
+        fog_rgb = grow[R.T_MAT + R.M_FOG_COLOR : R.T_MAT + R.M_FOG_COLOR + 3]
         res_transparent = res_transparent + jnp.where(
-            live[:, None], fog_rgba[:, hslot, :3] * (fa * alpha_contrib)[:, None], 0.0
+            live[None], fog_rgb * (fa * alpha_contrib)[None], 0.0
         )
         alpha_contrib = alpha_contrib * (1.0 - fa)
 
-        hit_refl = mat_f[:, hslot, sbuf.MAT_REFLECTION]
+        hit_refl = mat(R.M_REFLECTION)
         has_refl = live & (hit_refl > EPSILON)
-        fres = _fresnel(shade.normal[:, hslot], ray_dir, hit_refl, primary_fresnel_mult)
+        fres = _fresnel(normal, ray_dir, hit_refl, primary_fresnel)
         new_refl_a = new_refl_a + jnp.where(
             has_refl, fres * alpha_contrib * refl_a, 0.0
         )
 
-        color_add = shade.color[:, hslot, :3] * alpha_contrib[:, None]
-        lit = live & uses_lighting[:, hslot]
-        res_rgb = res_rgb + jnp.where(lit[:, None], color_add, 0.0)
+        color_add = color[:3] * alpha_contrib[None]
+        uses_l = ((flags & R.F_HAS_LIGHTING) != 0) & valid
+        lit = live & uses_l
+        self_l = grow[R.T_MAT + R.M_SELF_LIGHT : R.T_MAT + R.M_SELF_LIGHT + 3]
+        res_rgb = res_rgb + jnp.where(lit[None], color_add, 0.0)
         res_transparent = res_transparent + jnp.where(
-            (live & ~uses_lighting[:, hslot])[:, None],
-            color_add * (ambient + self_light[:, hslot]),
-            0.0,
+            (live & ~uses_l)[None], color_add * (ambient + self_l), 0.0
         )
-        spec = (
-            mat_f[:, hslot, sbuf.MAT_SPECULAR_R : sbuf.MAT_SPECULAR_R + 3]
-            * shade.specular[:, hslot]
-        )
-        res_pos = jnp.where(live[:, None], hit_pos[:, hslot], res_pos)
-        res_nrm = jnp.where(live[:, None], shade.normal[:, hslot], res_nrm)
-        res_spec = jnp.where(live[:, None], spec, res_spec)
-        res_inst = jnp.where(live, hit_inst[:, hslot], res_inst)
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
+        res_pos = jnp.where(live[None], hit_pos, res_pos)
+        res_nrm = jnp.where(live[None], normal, res_nrm)
+        res_spec = jnp.where(live[None], spec, res_spec)
+        res_row = jnp.where(live[None], grow, res_row)
+        res_inst = jnp.where(live, inst, res_inst)
         res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
 
     # Lighting at the final hit (checkShadows=false,
-    # ReflectionRayGen.hlsl:125-132), and shading-buffer writeback.
+    # ReflectionRayGen.hlsl:125-132) + shading-buffer writeback.
+    ctx = lighting.ctx_from_rows(res_row, res_inst >= 0)
     direct = lighting.compute_lights_random(
-        sb, world, trace_scene, pix, bn_table, gp.frame_count,
-        ray_dir, res_inst, res_pos, res_nrm, res_spec,
+        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+        ray_dir, res_pos, res_nrm, res_spec, ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=False,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
     )
     got = res_inst >= 0
-    self_f = sb.mat_f[jnp.maximum(res_inst, 0),
-                      sbuf.MAT_SELF_LIGHT_R : sbuf.MAT_SELF_LIGHT_R + 3]
-    res_rgb = jnp.where(got[:, None], res_rgb * (ambient + direct + self_f), res_rgb)
+    res_rgb = jnp.where(
+        got[None], res_rgb * (ambient + direct + ctx.self_light), res_rgb
+    )
     upd = active & got
-    sh_pos = jnp.where(upd[:, None], res_pos, sh_pos)
-    view_dir = jnp.where(upd[:, None], ray_dir, view_dir)
-    sh_nrm = jnp.where(upd[:, None], res_nrm, sh_nrm)
+    sh_pos = jnp.where(upd[None], res_pos, sh_pos)
+    view_dir = jnp.where(upd[None], ray_dir, view_dir)
+    sh_nrm = jnp.where(upd[None], res_nrm, sh_nrm)
     inst_id = jnp.where(upd, res_inst, inst_id)
+    sh_row = jnp.where(upd[None], res_row, sh_row)
 
     # Background blend + artificial shine (ReflectionRayGen.hlsl:134-143).
-    res_rgb = res_rgb + bg * res_a[:, None] + res_transparent
-    shine = sb.mat_f[inst_s, sbuf.MAT_REFLECTION_SHINE]
-    highlight = jnp.asarray([1.0, 1.05, 1.2])
-    shadow_c = jnp.asarray([0.1, 0.05, 0.0])
-    up_amt = jnp.power(jnp.maximum(ray_dir[:, 1], 0.0) * shine, 3.0)[:, None]
-    dn_amt = jnp.power(jnp.maximum(-ray_dir[:, 1], 0.0) * shine, 3.0)[:, None]
+    res_rgb = res_rgb + bg * res_a[None] + res_transparent
+    shine = sh_row[R.T_MAT + R.M_REFL_SHINE]
+    highlight = vm.splat((1.0, 1.05, 1.2), res_rgb)
+    shadow_c = vm.splat((0.1, 0.05, 0.0), res_rgb)
+    up_amt = jnp.power(jnp.maximum(ray_dir[1], 0.0) * shine, 3.0)[None]
+    dn_amt = jnp.power(jnp.maximum(-ray_dir[1], 0.0) * shine, 3.0)[None]
     res_rgb = res_rgb * (1.0 - up_amt) + highlight * up_amt
     res_rgb = res_rgb * (1.0 - dn_amt) + shadow_c * dn_amt
 
-    add = res_rgb * refl_a[:, None] * jnp.clip(1.0 - new_refl_a, 0.0, 1.0)[:, None]
-    refl_rgb = refl_rgb + jnp.where(active[:, None], add, 0.0)
+    add = res_rgb * refl_a[None] * jnp.clip(1.0 - new_refl_a, 0.0, 1.0)[None]
+    refl_rgb = refl_rgb + jnp.where(active[None], add, 0.0)
     refl_a = jnp.where(active, jnp.clip(new_refl_a, 0.0, 1.0), refl_a)
-    return (refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id)
-
-
-class FrameOutputs(NamedTuple):
-    """Everything a frame produces: the display image, the history for
-    the next frame, and the g-buffer taps the inspector/tests read."""
-
-    image: jax.Array  # (display_h, display_w, 3) linear float
-    history: History
-    gbuffers: GBuffers
-    direct_accum: jax.Array  # (N, 4)
-    indirect_accum: jax.Array  # (N, 4)
-    filtered_direct: jax.Array  # (N, 3)
-    filtered_indirect: jax.Array  # (N, 3)
-    reflection: jax.Array  # (N, 3)
-    refraction: jax.Array  # (N, 3)
-    rt_output: jax.Array  # (H, W, 3) composed render-res image
+    return (refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row)
 
 
 def render_frame(
@@ -854,7 +861,7 @@ def render_frame(
     gp: GlobalParams,
     history: History,
     bn_table,
-    bg_image,
+    bg_planes,  # (3, H, W) raster background
     cfg: RenderConfig,
     visualization_mode: int = 0,
 ) -> FrameOutputs:
@@ -862,122 +869,102 @@ def render_frame(
     h, w = cfg.rt_height, cfg.rt_width
     n = h * w
 
-    world = build_world(sb)
-    trace_scene = make_trace_scene(sb, world, cfg.alpha_cap)
+    tri_rows, rows_t = shade_ops.build_tri_rows(sb)
+    trace_scene = make_trace_scene(sb, rows_t, cfg.alpha_cap)
 
-    pix, origin, dirs = primary_rays(cfg, gp)
-    origins = jnp.broadcast_to(origin, dirs.shape)
+    pix, origins, dirs = primary_rays(cfg, gp)
     noise_rand = _noise_rand(cfg, gp, pix)
 
     # Background + sky (PrimaryRayGen.hlsl:47-56).
-    dims = jnp.asarray([w, h], jnp.float32)
-    screen_uv = (pix.astype(jnp.float32) + gp.pixel_jitter) / dims
-    bg_color = sky.sample_background_2d(bg_image, screen_uv)
+    su = (pix[:, 0].astype(jnp.float32) + gp.pixel_jitter[0]) / w
+    sv = (pix[:, 1].astype(jnp.float32) + gp.pixel_jitter[1]) / h
+    bg_color = sky.sample_background_2d(bg_planes, su, sv)
     sky_c = sky.sample_sky_2d(
-        sb.tex_pool, sb.tex_records, gp.sky_plane_tex_index, screen_uv,
-        gp.view_i, jnp.asarray([cfg.display_width, cfg.display_height], jnp.float32),
+        sb.quad_pool, sb.quad_records, jnp.broadcast_to(gp.sky_plane_rec, (n,)),
+        su, sv, gp.view_i,
+        jnp.asarray([cfg.display_width, cfg.display_height], jnp.float32),
         gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
     )
-    bg_color = bg_color * (1.0 - sky_c[:, 3:4]) + sky_c[:, :3] * sky_c[:, 3:4]
+    bg_color = bg_color * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
 
-    # Primary trace + resolve.
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
-    shade, t_all = _trace_and_shade(
-        sb, world, trace_scene, origins, dirs, t_min, t_max,
+    shade, t_all, k1 = _trace_and_shade(
+        sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
         cfg.k_primary, noise_rand, cfg,
     )
-    g = _resolve_hits(
-        sb, gp, cfg, shade, t_all, origins, dirs, bg_color,
-        world, trace_scene, pix, bn_table, noise_rand,
+    g = _resolve_primary(
+        sb, gp, cfg, shade, t_all, k1, origins, dirs, bg_color,
+        tri_rows, trace_scene, pix, bn_table, noise_rand,
     )
 
-    # Direct / indirect lighting.
     direct_accum = direct_pass(
-        sb, world, trace_scene, cfg, gp, g, history, pix, bn_table,
-        noise_rand, dirs,
+        sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table, noise_rand
     )
     indirect_accum = indirect_pass(
-        sb, world, trace_scene, cfg, gp, g, history, pix, bn_table,
-        noise_rand, bg_image,
+        sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
+        noise_rand, bg_planes,
     )
-
-    # Refraction, then the reflection loop (rt64_view.cpp:1405-1436).
     refraction_rgb = refraction_pass(
-        sb, world, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
-        bg_image, screen_uv,
+        sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
+        bg_planes, su, sv,
     )
     refl_state = (
-        jnp.zeros((n, 3), jnp.float32), g.reflection_alpha,
-        g.shading_position, g.view_direction, g.shading_normal, g.instance_id,
+        jnp.zeros((3, n)), g.refl_alpha, g.position, g.view_dir, g.normal,
+        g.instance, g.row,
     )
     if cfg.max_reflections > 0:
         def refl_body(state, _):
             return (
                 reflection_pass(
-                    sb, world, trace_scene, cfg, gp, g, state, pix, bn_table,
-                    noise_rand, bg_image,
+                    sb, tri_rows, trace_scene, cfg, gp, g, state, pix,
+                    bn_table, noise_rand, bg_planes,
                 ),
                 None,
             )
 
         refl_state, _ = jax.lax.scan(
-            refl_body, refl_state, jnp.arange(cfg.max_reflections)
+            refl_body, refl_state, None, length=cfg.max_reflections
         )
     reflection_rgb = refl_state[0]
 
-    # DI denoise is compiled out in the reference (rt64_view.cpp:1439-1443):
-    # filtered direct is a plain copy.
-    filtered_direct = direct_accum[:, :3]
-    # GI: 5x gaussian ping-pong when the denoiser is on
-    # (rt64_view.cpp:1488-1530).
-    fi = indirect_accum[:, :3].reshape(h, w, 3)
+    # DI denoise is compiled out in the reference (rt64_view.cpp:1439-1443).
+    filtered_direct = direct_accum[:3]
+    fi = indirect_accum[:3].reshape(3, h, w)
     if cfg.denoiser_enabled:
         for _ in range(cfg.gi_filter_passes):
             fi = filters.gaussian_3x3(fi)
-    filtered_indirect = fi.reshape(n, 3)
+    filtered_indirect = fi.reshape(3, n)
 
-    # Compose (ComposePS.hlsl).
     rt_rgb = filters.compose(
-        g.diffuse, filtered_direct, filtered_indirect,
+        g.diffuse_rgb, g.diffuse_a, filtered_direct, filtered_indirect,
         reflection_rgb, refraction_rgb, g.transparent,
-    ).reshape(h, w, 3)
+    ).reshape(3, h, w)
 
-    # Upscale to display resolution.
+    # Upscale to display resolution (bilinear final blit; the temporal /
+    # learned upscalers run on these outputs in the view driver).
     if (cfg.display_height, cfg.display_width) != (h, w):
-        from rt64tpu.models.upscaler import run_upscaler
-
-        disp = run_upscaler(
-            cfg, gp, rt_rgb,
-            g.flow.reshape(h, w, 2),
-            g.reactive_mask.reshape(h, w),
-            g.lock_mask.reshape(h, w),
-            g.depth.reshape(h, w),
-        )
+        disp = filters.bilinear_resize(rt_rgb, cfg.display_height, cfg.display_width)
     else:
         disp = rt_rgb
 
-    # Post-process: motion blur (PostProcessPS) or debug visualization.
     if visualization_mode == 0:
         flow_disp = filters.bilinear_resize(
-            g.flow.reshape(h, w, 2), cfg.display_height, cfg.display_width
+            g.flow.reshape(2, h, w), cfg.display_height, cfg.display_width
         )
         disp = filters.motion_blur(
-            disp, flow_disp, jnp.asarray([w, h], jnp.float32),
+            disp, flow_disp, (float(w), float(h)),
             gp.motion_blur_strength, cfg.motion_blur_samples,
         )
     else:
         disp = debug_visualization(
             visualization_mode, cfg, g, direct_accum, indirect_accum,
-            filtered_direct, filtered_indirect, reflection_rgb,
-            refraction_rgb,
+            filtered_direct, filtered_indirect, reflection_rgb, refraction_rgb,
         )
 
     new_history = History(
-        normal=g.shading_normal.reshape(h, w, 3),
-        depth=g.depth.reshape(h, w),
-        direct=direct_accum.reshape(h, w, 4),
-        indirect=indirect_accum.reshape(h, w, 4),
+        normal=g.normal, depth=g.depth, direct=direct_accum,
+        indirect=indirect_accum,
     )
     return FrameOutputs(
         image=disp,
@@ -1000,65 +987,60 @@ def debug_visualization(
     """DebugPS.hlsl visualization modes (17 total)."""
     h, w = cfg.rt_height, cfg.rt_width
 
-    def img(x, c=3):
-        return x.reshape(h, w, -1)[..., :3] if x.ndim > 1 else jnp.repeat(
-            x.reshape(h, w, 1), 3, axis=-1
-        )
+    def img3(x):
+        return x.reshape(3, h, w)
+
+    def img1(x):
+        return jnp.broadcast_to(x.reshape(1, h, w), (3, h, w))
 
     if mode == 1:
-        out = img(g.shading_position)
+        out = img3(g.position)
     elif mode == 2:
-        out = img((g.shading_normal + 1.0) / 2.0)
+        out = img3((g.normal + 1.0) / 2.0)
     elif mode == 3:
-        out = img(g.shading_specular)
+        out = img3(g.specular)
     elif mode == 4:
-        out = img(g.diffuse)
+        out = img3(g.diffuse_rgb)
     elif mode == 5:
         seed = rnd.init_rand(
-            jnp.maximum(g.instance_id, 0).astype(jnp.uint32), jnp.uint32(0)
+            jnp.maximum(g.instance, 0).astype(jnp.uint32), jnp.uint32(0)
         )
         seed, r = rnd.next_rand(seed)
         seed, gg = rnd.next_rand(seed)
         seed, b = rnd.next_rand(seed)
-        out = img(
-            jnp.where(
-                (g.instance_id >= 0)[:, None],
-                jnp.stack([r, gg, b], axis=-1),
-                0.0,
-            )
-        )
+        col = jnp.stack([r, gg, b], 0) * (g.instance >= 0)[None]
+        out = img3(col)
     elif mode == 6:
-        out = img(direct_accum[:, :3])
+        out = img3(direct_accum[:3])
     elif mode == 7:
-        out = img(filtered_direct)
+        out = img3(filtered_direct)
     elif mode == 8:
-        out = img(indirect_accum[:, :3])
+        out = img3(indirect_accum[:3])
     elif mode == 9:
-        out = img(filtered_indirect)
+        out = img3(filtered_indirect)
     elif mode == 10:
-        out = img(reflection)
+        out = img3(reflection)
     elif mode == 11:
-        out = img(refraction)
+        out = img3(refraction)
     elif mode == 12:
-        out = img(g.transparent)
+        out = img3(g.transparent)
     elif mode == 13:
-        out = _flow_visualization(cfg, g.flow.reshape(h, w, 2))
+        out = _flow_visualization(cfg, g.flow.reshape(2, h, w))
     elif mode == 14:
-        out = img(g.reactive_mask)
+        out = img1(g.reactive)
     elif mode == 15:
-        out = img(g.lock_mask)
+        out = img1(g.lock)
     elif mode == 16:
-        out = img(g.depth)
+        out = img1(g.depth)
     else:
-        out = jnp.full((h, w, 3), 0.5)
-    if out.shape[:2] != (cfg.display_height, cfg.display_width):
+        out = jnp.full((3, h, w), 0.5)
+    if out.shape[1:] != (cfg.display_height, cfg.display_width):
         out = filters.bilinear_resize(out, cfg.display_height, cfg.display_width)
     return out
 
 
 def _flow_visualization(cfg, flow):
-    """Motion-vector line drawing (DebugPS.hlsl:15-46): block centers
-    draw a line toward their previous-frame position."""
+    """Motion-vector line drawing (DebugPS.hlsl:15-46)."""
     h, w = cfg.rt_height, cfg.rt_width
     block = 32.0
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -1067,10 +1049,13 @@ def _flow_visualization(cfg, flow):
     cy = jnp.floor(yy / block) * block + block * 0.5
     cxi = jnp.clip(cx.astype(jnp.int32), 0, w - 1)
     cyi = jnp.clip(cy.astype(jnp.int32), 0, h - 1)
-    f = flow[jnp.broadcast_to(cyi, (h, w)), jnp.broadcast_to(cxi, (h, w))]
-    px = cx + f[..., 0]
-    py = cy + f[..., 1]
-    # distance from (xx, yy) to segment (cx, cy) -> (px, py)
+    flat = (
+        jnp.broadcast_to(cyi, (h, w)) * w + jnp.broadcast_to(cxi, (h, w))
+    ).reshape(-1)
+    fx = flow[0].reshape(-1)[flat].reshape(h, w)
+    fy = flow[1].reshape(-1)[flat].reshape(h, w)
+    px = cx + fx
+    py = cy + fy
     dx = px - cx
     dy = py - cy
     l2 = dx * dx + dy * dy
@@ -1080,4 +1065,4 @@ def _flow_visualization(cfg, flow):
     dist = jnp.sqrt((xx - qx) ** 2 + (yy - qy) ** 2)
     dist = jnp.where(l2 > 0.0, dist, jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2))
     on = (dist < 1.0).astype(jnp.float32)
-    return jnp.repeat(on[..., None], 3, axis=-1)
+    return jnp.broadcast_to(on[None], (3, h, w))

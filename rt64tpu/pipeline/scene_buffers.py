@@ -1,16 +1,18 @@
-"""Host -> device scene assembly.
+"""Host -> device scene assembly (packed-row layout).
 
 The per-frame analog of View::update (rt64_view.cpp:1053-1178): classify
-instances, assign texture indices, and upload transform/material data.
-Instead of rewriting a descriptor heap, we pack everything into one
-pytree of fixed-capacity arrays (SceneBuffers) whose shapes are set by
-SceneLimits — so jit traces once per capacity bucket.
+instances, resolve texture bindings, and upload transform/material data.
+Instead of rewriting a descriptor heap, everything packs into wide rows
+(pipeline/rows.py) sized for TPU gather economics:
 
-Assembly is split into:
-  * geometry epoch (mesh set / instance list changed): rebuild the
-    concatenated vertex/triangle arrays — the BLAS-build analog.
-  * per-frame: transforms, materials, lights, camera — small uploads,
-    the reference's upload-heap writes.
+  * geometry epoch (mesh/instance set changed): vertex rows + triangle
+    index tables — the BLAS-build analog.
+  * texture epoch: the *quad pool* — every (texture, addressing) combo
+    used by the scene gets sampling-ready entries holding the texel and
+    its +x/+y/+xy neighbors under that addressing mode, so a bilinear
+    fetch is ONE row gather (vs 4 scalar gathers).
+  * per frame: instance rows (transforms, materials, combiner, light
+    eligibility) and lights — the upload-heap analog.
 """
 
 from __future__ import annotations
@@ -24,132 +26,136 @@ import jax.numpy as jnp
 from rt64tpu import descriptors as d
 from rt64tpu.api import Instance, Texture, pack_lights
 from rt64tpu.limits import SceneLimits
-from rt64tpu.ops.combiner import PARAMS_WIDTH, SHADER_0, SHADER_TEXEL0A
-from rt64tpu.ops import math3d
+from rt64tpu.pipeline import rows as R
 
-# Material float columns (device layout; mirrors MaterialProperties,
-# Materials.hlsli). Integer-ish fields ride mat_i.
-MAT_IGNORE_NORMAL = 0
-MAT_UV_DETAIL_SCALE = 1
-MAT_REFLECTION = 2
-MAT_REFLECTION_FRESNEL = 3
-MAT_REFLECTION_SHINE = 4
-MAT_REFRACTION = 5
-MAT_SPECULAR_R = 6  # 6:9 specular color
-MAT_SPECULAR_EXP = 9
-MAT_SOLID_ALPHA_MULT = 10
-MAT_SHADOW_ALPHA_MULT = 11
-MAT_DEPTH_BIAS = 12
-MAT_SHADOW_RAY_BIAS = 13
-MAT_SELF_LIGHT_R = 14  # 14:17
-MAT_FOG_R = 17  # 17:20 fog color
-MAT_DIFFUSE_MIX_R = 20  # 20:24 diffuse color mix rgba
-MAT_FOG_MUL = 24
-MAT_FOG_OFFSET = 25
-MAT_FOG_ENABLED = 26
-MAT_LOCK_MASK = 27
-MAT_WIDTH = 28
-
-# Instance int columns.
-II_DIFFUSE_TEX = 0
-II_NORMAL_TEX = 1
-II_SPECULAR_TEX = 2
-II_FILTER = 3
-II_H_ADDR = 4
-II_V_ADDR = 5
-II_NORMAL_MAP = 6
-II_SPECULAR_MAP = 7
-II_NO_CULL = 8
-II_ALPHA_CLASS = 9
-II_WIDTH = 10
+LIGHT_WIDTH = 14
 
 
 class SceneBuffers(NamedTuple):
     """Device-resident scene. All shapes fixed by SceneLimits."""
 
-    # Geometry (epoch-updated)
-    pos: jax.Array  # (V, 3) object-space positions
-    nrm: jax.Array  # (V, 3)
-    uv: jax.Array  # (V, 2)
-    inputs: jax.Array  # (V, 4, 4) combiner input colors
-    vert_instance: jax.Array  # (V,) int32
+    vertex_rows: jax.Array  # (V, VROW) f32 object-space attrs
     tri_idx: jax.Array  # (T, 3) int32
     tri_instance: jax.Array  # (T,) int32
     tri_valid: jax.Array  # (T,) bool
-    # Per-frame instance data
-    transforms: jax.Array  # (I, 4, 4)
-    normal_mats: jax.Array  # (I, 4, 4)
-    prev_transforms: jax.Array  # (I, 4, 4)
-    mat_f: jax.Array  # (I, MAT_WIDTH)
-    mat_i: jax.Array  # (I, II_WIDTH) int32
-    light_groups_inst: jax.Array  # (I,) uint32 lightGroupMaskBits
-    combiner: jax.Array  # (I, PARAMS_WIDTH) int32
-    # Lights
-    lights: jax.Array  # (L, 14)
-    light_groups: jax.Array  # (L,) uint32
+    instance_rows: jax.Array  # (I, IROW) f32
+    lights: jax.Array  # (L, 14) f32
     light_count: jax.Array  # () int32
-    # Textures
-    tex_pool: jax.Array  # (P, 4) uint8
-    tex_records: jax.Array  # (Tex, 3) int32
+    quad_pool: jax.Array  # (P, 4) uint32 sampling-ready texels
+    quad_records: jax.Array  # (Rec, 3) int32: offset, width, height
 
 
-class AssembledScene(NamedTuple):
-    buffers: SceneBuffers
-    instance_count: int
-    triangle_count: int
+def _addr_np(i, size, mode):
+    if mode == d.SHADER_ADDRESSING_WRAP:
+        return np.mod(i, size)
+    if mode == d.SHADER_ADDRESSING_MIRROR:
+        m = np.mod(i, 2 * size)
+        return np.where(m < size, m, 2 * size - 1 - m)
+    return np.clip(i, 0, size - 1)
 
 
-def _alpha_class(shader, material: d.Material) -> bool:
-    """Conservative: can this instance's evaluated hit alpha be < 1?
-
-    Mirrors when the reference's any-hit could produce partial alpha or
-    IgnoreHit (rt64_shader.cpp:489-516).
-    """
-    cc = shader.combiner
-    if cc.opt_alpha or cc.opt_noise or cc.opt_texture_edge:
-        return True
-    if material.solid_alpha_multiplier < 1.0:
-        return True
-    c = cc.c[0]
-    if c[1] == SHADER_0 and c[3] == SHADER_0 and c[2] == SHADER_TEXEL0A:
-        return True  # multiply path alpha = texel alpha even without opt_alpha
-    return False
+def build_quad_entries(rgba: np.ndarray, h_mode: int, v_mode: int) -> np.ndarray:
+    """Sampling-ready quad entries for one texture under one addressing
+    mode: entry[y*W+x] = packed u32 of (x,y), (x+1,y), (x,y+1), (x+1,y+1)
+    with the +1 neighbors wrapped per the mode."""
+    h, w = rgba.shape[:2]
+    packed = (
+        rgba[..., 0].astype(np.uint32)
+        | (rgba[..., 1].astype(np.uint32) << 8)
+        | (rgba[..., 2].astype(np.uint32) << 16)
+        | (rgba[..., 3].astype(np.uint32) << 24)
+    )
+    xs = np.arange(w)
+    ys = np.arange(h)
+    x1 = _addr_np(xs + 1, w, h_mode)
+    y1 = _addr_np(ys + 1, h, v_mode)
+    out = np.zeros((h * w, 4), np.uint32)
+    out[:, 0] = packed.reshape(-1)
+    out[:, 1] = packed[:, x1].reshape(-1)
+    out[:, 2] = packed[y1, :].reshape(-1)
+    out[:, 3] = packed[y1][:, x1].reshape(-1)
+    return out
 
 
 class ScenePacker:
     """Incremental packer owning the numpy staging arrays."""
 
-    def __init__(self, limits: SceneLimits, jax_device=None):
+    def __init__(self, limits: SceneLimits):
         self.limits = limits
-        self.jax_device = jax_device
         self._geometry_key = None
-        self._texture_key = None
+        self._quad_key = None
         self._np: dict = {}
-        self._geom_cached: dict = {}
+        self._combo_ids: dict = {}  # (tex_id, h, v) -> record index
+        self.triangle_count = 0
 
-    # -- textures ---------------------------------------------------------
-    def pack_textures(self, textures: List[Texture]):
+    # -- texture quad pool ---------------------------------------------------
+    def pack_quad_pool(self, instances: List[Instance]):
+        """Collect every (texture, hAddr, vAddr) combo in use and build
+        the sampling-ready pool."""
         lm = self.limits
-        key = tuple(id(t) for t in textures)
-        if key == self._texture_key:
+        combos = []
+        seen = set()
+        for inst in instances:
+            sh = inst.desc.shader
+            if sh is None:
+                continue
+            for tex in (inst.desc.diffuse_texture, inst.desc.normal_texture,
+                        inst.desc.specular_texture):
+                if tex is None:
+                    continue
+                key = (id(tex), sh.h_addr, sh.v_addr)
+                if key not in seen:
+                    seen.add(key)
+                    combos.append((tex, sh.h_addr, sh.v_addr))
+        # Sky plane textures sample with wrap/wrap (gBackgroundSampler).
+        for inst in instances:
+            pass
+        key = tuple((id(t), h, v) for t, h, v in combos)
+        if key == self._quad_key:
             return
-        pool = np.zeros((lm.texel_pool, 4), np.uint8)
+        pool = np.zeros((lm.texel_pool, 4), np.uint32)
         records = np.zeros((lm.max_textures, 3), np.int32)
+        self._combo_ids = {}
         offset = 0
-        for i, tex in enumerate(textures[: lm.max_textures]):
+        rec = 0
+        for tex, h_addr, v_addr in combos:
             n = tex.width * tex.height
-            if offset + n > lm.texel_pool:
-                raise ValueError("texel pool exhausted; grow SceneLimits.texel_pool")
-            pool[offset : offset + n] = tex.rgba.reshape(n, 4)
-            records[i] = (offset, tex.width, tex.height)
+            if offset + n > lm.texel_pool or rec >= lm.max_textures:
+                raise ValueError("quad pool exhausted; grow SceneLimits")
+            pool[offset : offset + n] = build_quad_entries(tex.rgba, h_addr, v_addr)
+            records[rec] = (offset, tex.width, tex.height)
+            self._combo_ids[(id(tex), h_addr, v_addr)] = rec
             offset += n
-        self._np["tex_pool"] = pool
-        self._np["tex_records"] = records
-        self._texture_key = key
+            rec += 1
+        self._next_rec = rec
+        self._next_off = offset
+        self._np["quad_pool"] = pool
+        self._np["quad_records"] = records
+        self._quad_key = key
 
-    # -- geometry epoch -----------------------------------------------------
+    def add_env_texture(self, tex: Optional[Texture]) -> int:
+        """Record id for a wrap/wrap env/sky texture (added on demand)."""
+        if tex is None:
+            return -1
+        key = (id(tex), d.SHADER_ADDRESSING_WRAP, d.SHADER_ADDRESSING_WRAP)
+        if key in self._combo_ids:
+            return self._combo_ids[key]
+        n = tex.width * tex.height
+        pool = self._np["quad_pool"]
+        records = self._np["quad_records"]
+        if self._next_off + n > pool.shape[0] or self._next_rec >= records.shape[0]:
+            raise ValueError("quad pool exhausted; grow SceneLimits")
+        pool[self._next_off : self._next_off + n] = build_quad_entries(
+            tex.rgba, d.SHADER_ADDRESSING_WRAP, d.SHADER_ADDRESSING_WRAP
+        )
+        records[self._next_rec] = (self._next_off, tex.width, tex.height)
+        self._combo_ids[key] = self._next_rec
+        self._next_off += n
+        self._next_rec += 1
+        return self._combo_ids[key]
+
+    # -- geometry epoch -------------------------------------------------------
     def pack_geometry(self, instances: List[Instance]):
-        """Concatenate per-instance mesh triangles (Morton-ordered)."""
         lm = self.limits
         key = tuple(
             (id(inst), inst.desc.mesh.version if inst.desc.mesh else -1,
@@ -158,13 +164,10 @@ class ScenePacker:
         )
         if key == self._geometry_key:
             return
-        V, T, I = lm.max_vertices, lm.max_triangles, lm.max_instances
-        pos = np.zeros((V, 3), np.float32)
-        nrm = np.zeros((V, 3), np.float32)
-        uv = np.zeros((V, 2), np.float32)
-        inputs = np.zeros((V, 4, 4), np.float32)
-        inputs[:, :, 3] = 1.0
-        vert_instance = np.zeros(V, np.int32)
+        V, T = lm.max_vertices, lm.max_triangles
+        vrows = np.zeros((V, R.VROW), np.float32)
+        vrows[:, R.V_IN1 + 3] = 1.0  # float3 inputs extend alpha=1
+        vrows[:, R.V_IN2 + 3] = 1.0
         tri_idx = np.zeros((T, 3), np.int32)
         tri_instance = np.zeros(T, np.int32)
         tri_valid = np.zeros(T, bool)
@@ -181,11 +184,11 @@ class ScenePacker:
             nt = parsed["indices"].shape[0]
             if voff + nv > V or toff + nt > T:
                 raise ValueError("scene geometry exceeds SceneLimits buckets")
-            pos[voff : voff + nv] = parsed["positions"]
-            nrm[voff : voff + nv] = parsed["normals"]
-            uv[voff : voff + nv] = parsed["uvs"]
-            inputs[voff : voff + nv] = parsed["inputs"]
-            vert_instance[voff : voff + nv] = ii
+            vrows[voff : voff + nv, R.V_POS : R.V_POS + 3] = parsed["positions"]
+            vrows[voff : voff + nv, R.V_NRM : R.V_NRM + 3] = parsed["normals"]
+            vrows[voff : voff + nv, R.V_UV : R.V_UV + 2] = parsed["uvs"]
+            vrows[voff : voff + nv, R.V_IN1 : R.V_IN1 + 4] = parsed["inputs"][:, 0]
+            vrows[voff : voff + nv, R.V_IN2 : R.V_IN2 + 4] = parsed["inputs"][:, 1]
             perm = parsed["tri_perm"]
             tri_idx[toff : toff + nt] = parsed["indices"][perm] + voff
             tri_instance[toff : toff + nt] = ii
@@ -194,106 +197,134 @@ class ScenePacker:
             toff += nt
 
         self._np.update(
-            pos=pos, nrm=nrm, uv=uv, inputs=inputs, vert_instance=vert_instance,
-            tri_idx=tri_idx, tri_instance=tri_instance, tri_valid=tri_valid,
+            vertex_rows=vrows, tri_idx=tri_idx, tri_instance=tri_instance,
+            tri_valid=tri_valid,
         )
         self._geometry_key = key
-        self._triangle_count = toff
+        self.triangle_count = toff
 
-    # -- per-frame ----------------------------------------------------------
+    # -- per-frame -------------------------------------------------------------
     def pack_frame(self, instances: List[Instance], lights_arrays) -> SceneBuffers:
         lm = self.limits
         I = lm.max_instances
-        transforms = np.tile(np.eye(4, dtype=np.float32), (I, 1, 1))
-        prev_transforms = transforms.copy()
-        mat_f = np.zeros((I, MAT_WIDTH), np.float32)
-        mat_i = np.full((I, II_WIDTH), -1, np.int32)
-        light_groups_inst = np.zeros(I, np.uint32)
-        combiner = np.zeros((I, PARAMS_WIDTH), np.int32)
+        larr, lgroups = lights_arrays
+        irows = np.zeros((I, R.IROW), np.float32)
+        eye3 = np.eye(3, dtype=np.float32).reshape(-1)
+        irows[:, R.I_M3 : R.I_M3 + 9] = eye3
+        irows[:, R.I_NM3 : R.I_NM3 + 9] = eye3
+        irows[:, R.I_PM3 : R.I_PM3 + 9] = eye3
+        irows[:, R.I_TEX_D] = -1
+        irows[:, R.I_TEX_N] = -1
+        irows[:, R.I_TEX_S] = -1
 
         for ii, inst in enumerate(instances[:I]):
             de = inst.desc
             m = de.material
-            if de.transform is not None:
-                transforms[ii] = np.asarray(de.transform, np.float32).reshape(4, 4)
-            if de.previous_transform is not None:
-                prev_transforms[ii] = np.asarray(
-                    de.previous_transform, np.float32
-                ).reshape(4, 4)
-            else:
-                prev_transforms[ii] = transforms[ii]
-            mat_f[ii, MAT_IGNORE_NORMAL] = m.ignore_normal_factor
-            mat_f[ii, MAT_UV_DETAIL_SCALE] = m.uv_detail_scale
-            mat_f[ii, MAT_REFLECTION] = m.reflection_factor
-            mat_f[ii, MAT_REFLECTION_FRESNEL] = m.reflection_fresnel_factor
-            mat_f[ii, MAT_REFLECTION_SHINE] = m.reflection_shine_factor
-            mat_f[ii, MAT_REFRACTION] = m.refraction_factor
-            mat_f[ii, MAT_SPECULAR_R : MAT_SPECULAR_R + 3] = m.specular_color
-            mat_f[ii, MAT_SPECULAR_EXP] = m.specular_exponent
-            mat_f[ii, MAT_SOLID_ALPHA_MULT] = m.solid_alpha_multiplier
-            mat_f[ii, MAT_SHADOW_ALPHA_MULT] = m.shadow_alpha_multiplier
-            mat_f[ii, MAT_DEPTH_BIAS] = m.depth_bias
-            mat_f[ii, MAT_SHADOW_RAY_BIAS] = m.shadow_ray_bias
-            mat_f[ii, MAT_SELF_LIGHT_R : MAT_SELF_LIGHT_R + 3] = m.self_light
-            mat_f[ii, MAT_FOG_R : MAT_FOG_R + 3] = m.fog_color
-            mat_f[ii, MAT_DIFFUSE_MIX_R : MAT_DIFFUSE_MIX_R + 4] = m.diffuse_color_mix
-            mat_f[ii, MAT_FOG_MUL] = m.fog_mul
-            mat_f[ii, MAT_FOG_OFFSET] = m.fog_offset
-            mat_f[ii, MAT_FOG_ENABLED] = float(m.fog_enabled)
-            mat_f[ii, MAT_LOCK_MASK] = m.lock_mask
-            light_groups_inst[ii] = np.uint32(m.light_group_mask_bits & 0xFFFFFFFF)
-
-            def tex_id(t):
-                return t.texture_id if t is not None else -1
-
-            mat_i[ii, II_DIFFUSE_TEX] = (
-                tex_id(de.diffuse_texture) if m.diffuse_tex_index < 0 else m.diffuse_tex_index
-            )
-            mat_i[ii, II_NORMAL_TEX] = tex_id(de.normal_texture)
-            mat_i[ii, II_SPECULAR_TEX] = tex_id(de.specular_texture)
             sh = de.shader
-            if sh is not None:
-                mat_i[ii, II_FILTER] = sh.filter
-                mat_i[ii, II_H_ADDR] = sh.h_addr
-                mat_i[ii, II_V_ADDR] = sh.v_addr
-                mat_i[ii, II_NORMAL_MAP] = int(sh.normal_map_enabled)
-                mat_i[ii, II_SPECULAR_MAP] = int(sh.specular_map_enabled)
-                combiner[ii] = sh.combiner.packed()
-                mat_i[ii, II_ALPHA_CLASS] = int(_alpha_class(sh, m))
-            mat_i[ii, II_NO_CULL] = int(bool(de.flags & d.INSTANCE_DISABLE_BACKFACE_CULLING))
+            tf = (
+                np.asarray(de.transform, np.float32).reshape(4, 4)
+                if de.transform is not None else np.eye(4, dtype=np.float32)
+            )
+            ptf = (
+                np.asarray(de.previous_transform, np.float32).reshape(4, 4)
+                if de.previous_transform is not None else tf
+            )
+            irows[ii, R.I_M3 : R.I_M3 + 9] = tf[:3, :3].reshape(-1)
+            irows[ii, R.I_TR : R.I_TR + 3] = tf[3, :3]
+            nm = np.linalg.inv(tf[:3, :3]).T
+            irows[ii, R.I_NM3 : R.I_NM3 + 9] = nm.reshape(-1)
+            irows[ii, R.I_PM3 : R.I_PM3 + 9] = ptf[:3, :3].reshape(-1)
+            irows[ii, R.I_PTR : R.I_PTR + 3] = ptf[3, :3]
 
-        normal_mats = math3d.normal_matrix(transforms)
+            mat = irows[ii, R.I_MAT : R.I_MAT + R.M_WIDTH]
+            mat[R.M_IGNORE_NORMAL] = m.ignore_normal_factor
+            mat[R.M_UV_DETAIL] = m.uv_detail_scale
+            mat[R.M_REFLECTION] = m.reflection_factor
+            mat[R.M_REFL_FRESNEL] = m.reflection_fresnel_factor
+            mat[R.M_REFL_SHINE] = m.reflection_shine_factor
+            mat[R.M_REFRACTION] = m.refraction_factor
+            mat[R.M_SPECULAR : R.M_SPECULAR + 3] = m.specular_color
+            mat[R.M_SPEC_EXP] = m.specular_exponent
+            mat[R.M_SOLID_ALPHA] = m.solid_alpha_multiplier
+            mat[R.M_SHADOW_ALPHA] = m.shadow_alpha_multiplier
+            mat[R.M_DEPTH_BIAS] = m.depth_bias
+            mat[R.M_SHADOW_RAY_BIAS] = m.shadow_ray_bias
+            mat[R.M_SELF_LIGHT : R.M_SELF_LIGHT + 3] = m.self_light
+            mat[R.M_FOG_COLOR : R.M_FOG_COLOR + 3] = m.fog_color
+            mat[R.M_DIFFUSE_MIX : R.M_DIFFUSE_MIX + 4] = m.diffuse_color_mix
+            mat[R.M_FOG_MUL] = m.fog_mul
+            mat[R.M_FOG_OFFSET] = m.fog_offset
+            mat[R.M_FOG_ENABLED] = float(m.fog_enabled)
+            mat[R.M_LOCK] = m.lock_mask
+
+            if sh is not None:
+                cc = sh.combiner
+                irows[ii, R.I_CC] = R.pack_cc(cc.c[0], cc.c[1])
+                flags = 0
+                flags |= R.F_OPT_ALPHA * cc.opt_alpha
+                flags |= R.F_TEXTURE_EDGE * cc.opt_texture_edge
+                flags |= R.F_NOISE * cc.opt_noise
+                flags |= R.F_ALPHA_SAME * cc.color_alpha_same
+                flags |= R.F_USE_T0 * cc.use_textures[0]
+                flags |= R.F_USE_T1 * cc.use_textures[1]
+                flags |= R.F_NORMAL_MAP * sh.normal_map_enabled
+                flags |= R.F_SPECULAR_MAP * sh.specular_map_enabled
+                flags |= R.F_NO_CULL * bool(
+                    de.flags & d.INSTANCE_DISABLE_BACKFACE_CULLING
+                )
+                flags |= R.F_ALPHA_CLASS * self._alpha_class(sh, m)
+                flags |= R.F_HAS_LIGHTING * (m.light_group_mask_bits != 0)
+                irows[ii, R.I_FLAGS] = float(flags)
+                irows[ii, R.I_SAMPLER] = float(
+                    sh.filter + 4 * sh.h_addr + 16 * sh.v_addr
+                )
+                irows[ii, R.I_INPUT_COUNT] = float(cc.input_count)
+
+                def rec_id(tex):
+                    if tex is None:
+                        return -1
+                    return self._combo_ids.get((id(tex), sh.h_addr, sh.v_addr), -1)
+
+                irows[ii, R.I_TEX_D] = rec_id(de.diffuse_texture)
+                irows[ii, R.I_TEX_N] = rec_id(de.normal_texture)
+                irows[ii, R.I_TEX_S] = rec_id(de.specular_texture)
+
+            # Light eligibility: exact uint32 mask test done on host.
+            gm = np.uint32(m.light_group_mask_bits & 0xFFFFFFFF)
+            nl = min(len(lgroups), R.MAX_ELIG_LIGHTS, lm.max_lights)
+            for l in range(nl):
+                irows[ii, R.I_ELIG + l] = float(bool(gm & lgroups[l]))
 
         L = lm.max_lights
-        larr, lgroups = lights_arrays
-        lights = np.zeros((L, larr.shape[1]), np.float32)
-        groups = np.zeros(L, np.uint32)
+        lights = np.zeros((L, LIGHT_WIDTH), np.float32)
         count = min(len(larr), L)
-        lights[:count] = larr[:count]
-        groups[:count] = lgroups[:count]
-
-        def dev(x):
-            return jnp.asarray(x)
+        lights[:count] = larr[:count, :LIGHT_WIDTH]
 
         return SceneBuffers(
-            pos=dev(self._np["pos"]),
-            nrm=dev(self._np["nrm"]),
-            uv=dev(self._np["uv"]),
-            inputs=dev(self._np["inputs"]),
-            vert_instance=dev(self._np["vert_instance"]),
-            tri_idx=dev(self._np["tri_idx"]),
-            tri_instance=dev(self._np["tri_instance"]),
-            tri_valid=dev(self._np["tri_valid"]),
-            transforms=dev(transforms),
-            normal_mats=dev(normal_mats.astype(np.float32)),
-            prev_transforms=dev(prev_transforms),
-            mat_f=dev(mat_f),
-            mat_i=dev(mat_i),
-            light_groups_inst=dev(light_groups_inst),
-            combiner=dev(combiner),
-            lights=dev(lights),
-            light_groups=dev(groups),
+            vertex_rows=jnp.asarray(self._np["vertex_rows"]),
+            tri_idx=jnp.asarray(self._np["tri_idx"]),
+            tri_instance=jnp.asarray(self._np["tri_instance"]),
+            tri_valid=jnp.asarray(self._np["tri_valid"]),
+            instance_rows=jnp.asarray(irows),
+            lights=jnp.asarray(lights),
             light_count=jnp.int32(count),
-            tex_pool=dev(self._np["tex_pool"]),
-            tex_records=dev(self._np["tex_records"]),
+            quad_pool=jnp.asarray(self._np["quad_pool"]),
+            quad_records=jnp.asarray(self._np["quad_records"]),
         )
+
+    @staticmethod
+    def _alpha_class(shader, material: d.Material) -> bool:
+        """Conservative: can this instance's evaluated hit alpha be < 1?
+        Mirrors when the any-hit could produce partial alpha or
+        IgnoreHit (rt64_shader.cpp:489-516)."""
+        from rt64tpu.ops.combiner import SHADER_0, SHADER_TEXEL0A
+
+        cc = shader.combiner
+        if cc.opt_alpha or cc.opt_noise or cc.opt_texture_edge:
+            return True
+        if material.solid_alpha_multiplier < 1.0:
+            return True
+        c = cc.c[0]
+        if c[1] == SHADER_0 and c[3] == SHADER_0 and c[2] == SHADER_TEXEL0A:
+            return True
+        return False

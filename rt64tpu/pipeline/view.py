@@ -32,19 +32,19 @@ class ViewRenderer:
         self.history: Optional[fg.History] = None
         self.active_instances = []
         self._sb = None
+        self._sky_rec = -1
         self._jitted = {}
-        self._temporal_history = None
+        self._temporal = None  # TemporalUpscaler history (display res)
         self._prev_view_proj = None
         self._prev_view_i = None
+        self._last = None
 
     # -- update: the View::update analog -----------------------------------
     def update(self):
         view = self.view
         scene = view.scene
-        device = scene.device
-        # Raytraced instances only for now; raster bg/fg instances are
-        # classified out (rt64_view.cpp:1081-1147) and composited by the
-        # raster path.
+        # Raytraced instances only; raster bg/fg instances are classified
+        # out (rt64_view.cpp:1081-1147) and composited by the raster path.
         active = [
             inst for inst in scene.instances
             if inst.desc.mesh is not None and inst.desc.shader is not None
@@ -52,7 +52,8 @@ class ViewRenderer:
             and not (inst.desc.flags & d.INSTANCE_RASTER_BACKGROUND)
         ]
         self.active_instances = active
-        self.packer.pack_textures(device.textures)
+        self.packer.pack_quad_pool(active)
+        self._sky_rec = self.packer.add_env_texture(view.sky_plane_texture)
         self.packer.pack_geometry(active)
         self._sb = self.packer.pack_frame(active, scene.lights_array())
 
@@ -61,24 +62,38 @@ class ViewRenderer:
         view = self.view
         cfg = self._config()
         gp = self._global_params(cfg)
-        if self.history is None or self.history.depth.shape != (
-            cfg.rt_height, cfg.rt_width,
+        if self.history is None or self.history.depth.shape[0] != (
+            cfg.rt_height * cfg.rt_width
         ):
             self.history = fg.History.zeros(cfg.rt_height, cfg.rt_width)
 
         fn = self._get_jitted(cfg, view.visualization_mode)
-        bg_image = self._background_image(cfg)
-        out = fn(self._sb, gp, self.history, self.bn_table, bg_image)
+        bg_planes = self._background_planes(cfg)
+        out = fn(self._sb, gp, self.history, self.bn_table, bg_planes)
         self.history = out.history
         self._last = out
-        img = np.asarray(out.image)
-        frame = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+        img = out.image
+        # Temporal upscaler stage (FSR slot) runs on frame outputs.
+        if cfg.upscaler in (d.UPSCALER_FSR, d.UPSCALER_AUTO) and (
+            (cfg.display_height, cfg.display_width)
+            != (cfg.rt_height, cfg.rt_width)
+        ):
+            img, self._temporal = ups.temporal_upscale_step(
+                self._temporal, out, cfg
+            )
+        elif cfg.upscaler in (d.UPSCALER_DLSS, d.UPSCALER_XESS):
+            img = ups.learned_upscale(out, cfg)
+
+        arr = np.asarray(img)  # (3, DH, DW)
+        frame = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        frame = np.moveaxis(frame, 0, -1)  # (DH, DW, 3)
         view._framebuffer = np.concatenate(
             [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=-1
         )
         view._last_outputs = {
             "instance_id": np.asarray(
-                out.gbuffers.instance_id.reshape(cfg.rt_height, cfg.rt_width)
+                out.gbuffers.instance.reshape(cfg.rt_height, cfg.rt_width)
             ),
         }
 
@@ -111,7 +126,6 @@ class ViewRenderer:
             gi_samples=int(vd.gi_samples),
             max_lights=int(vd.max_lights),
             max_reflections=view.max_reflections,
-            motion_blur_samples=32,
             denoiser_enabled=bool(vd.denoiser_enabled),
             upscaler=int(vd.upscaler),
             alpha_cap=self.packer.limits.alpha_triangles,
@@ -152,11 +166,6 @@ class ViewRenderer:
 
         vd = view.desc
         denoiser = bool(vd.denoiser_enabled)
-        sky_idx = (
-            view.sky_plane_texture.texture_id
-            if view.sky_plane_texture is not None
-            else -1
-        )
         f32 = np.float32
         return fg.GlobalParams(
             view=jnp.asarray(vmat),
@@ -180,15 +189,14 @@ class ViewRenderer:
             gi_diffuse_strength=jnp.float32(desc.gi_diffuse_strength),
             gi_sky_strength=jnp.float32(desc.gi_sky_strength),
             motion_blur_strength=jnp.float32(vd.motion_blur_strength),
-            sky_plane_tex_index=jnp.int32(sky_idx),
+            sky_plane_rec=jnp.int32(self._sky_rec),
             frame_count=jnp.uint32(view.frame_count),
             di_reproject=jnp.bool_(False),  # DI_REPROJECTION_SUPPORT undefined
             gi_reproject=jnp.bool_(denoiser and vd.gi_samples > 0),
             binary_lock_mask=jnp.bool_(vd.upscaler != d.UPSCALER_FSR),
-            visualization_mode=jnp.int32(view.visualization_mode),
         )
 
-    def _background_image(self, cfg):
+    def _background_planes(self, cfg):
         """Raster-background plane (rt64_view.cpp:1292-1319). Black until
-        the raster path lands; sized to render resolution."""
-        return jnp.zeros((cfg.rt_height, cfg.rt_width, 3), jnp.float32)
+        the raster path lands; planar (3, H, W)."""
+        return jnp.zeros((3, cfg.rt_height, cfg.rt_width), jnp.float32)

@@ -55,7 +55,7 @@ def test_opaque_closest_hit_matches_bruteforce():
     t_min = np.full(n, 0.01, np.float32)
     t_max = np.full(n, 100.0, np.float32)
     hits = tracer.trace(
-        jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(t_min),
+        jnp.asarray(orig.T), jnp.asarray(dirs.T), jnp.asarray(t_min),
         jnp.asarray(t_max), scene, k_alpha=4, chunk=32,
     )
     t, u, v, hit = _np_intersect(orig, dirs, v0, v1, v2, cull=True)
@@ -82,7 +82,7 @@ def test_alpha_hits_sorted_and_complete():
     t_max = np.full(n, 100.0, np.float32)
     k = 6
     hits = tracer.trace(
-        jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(t_min),
+        jnp.asarray(orig.T), jnp.asarray(dirs.T), jnp.asarray(t_min),
         jnp.asarray(t_max), scene, k_alpha=k, chunk=32,
     )
     t, u, v, hit = _np_intersect(orig, dirs, v0, v1, v2, cull=True)
@@ -107,8 +107,8 @@ def test_depth_bias_reorders_coplanar():
         jnp.asarray([True, True]),
         jnp.asarray([0.0, 1.0], dtype=jnp.float32), 2,
     )
-    orig = jnp.asarray([[0.0, 0.0, 0.0]])
-    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    orig = jnp.asarray([[0.0], [0.0], [0.0]])
+    dirs = jnp.asarray([[0.0], [0.0], [1.0]])
     hits = tracer.trace(
         orig, dirs, jnp.asarray([0.01]), jnp.asarray([100.0]), scene,
         k_alpha=2, chunk=2,
@@ -131,8 +131,8 @@ def test_backface_culling_flag():
         jnp.asarray([True]), jnp.asarray([False]),
         jnp.asarray([nc]), jnp.asarray([0.0], dtype=jnp.float32), 1,
     )
-    orig = jnp.asarray([[0.0, 0.0, 0.0]])
-    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    orig = jnp.asarray([[0.0], [0.0], [0.0]])
+    dirs = jnp.asarray([[0.0], [0.0], [1.0]])
     tmin = jnp.asarray([0.01])
     tmax = jnp.asarray([100.0])
     culled = tracer.trace(orig, dirs, tmin, tmax, mk(False), k_alpha=1, chunk=1)
