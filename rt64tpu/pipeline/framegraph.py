@@ -59,6 +59,13 @@ class RenderConfig:
     upscaler: int = 0
     tri_chunk: int = 512
     alpha_cap: int = 256  # compacted alpha triangle list capacity
+    # Multi-chip row tiling (parallel/tiling.py): rt_height is this
+    # shard's rows; full_height is the whole image (0 = unsharded).
+    full_height: int = 0
+
+    @property
+    def grid_height(self) -> int:
+        return self.full_height or self.rt_height
 
 
 class GlobalParams(NamedTuple):
@@ -162,20 +169,20 @@ def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
     )
 
 
-def _pixel_grid(cfg: RenderConfig):
+def _pixel_grid(cfg: RenderConfig, row_offset=0):
     h, w = cfg.rt_height, cfg.rt_width
     xx = jnp.arange(w, dtype=jnp.int32)
-    yy = jnp.arange(h, dtype=jnp.int32)
+    yy = jnp.arange(h, dtype=jnp.int32) + row_offset
     px = jnp.broadcast_to(xx[None, :], (h, w)).reshape(-1)
     py = jnp.broadcast_to(yy[:, None], (h, w)).reshape(-1)
     return jnp.stack([px, py], axis=-1)  # (N, 2) int
 
 
-def primary_rays(cfg: RenderConfig, gp: GlobalParams):
+def primary_rays(cfg: RenderConfig, gp: GlobalParams, row_offset=0):
     """Camera ray setup (PrimaryRayGen.hlsl:33-40): planar origin (3, N)
     and NON-normalized direction (3, N), exactly like the reference."""
-    pix = _pixel_grid(cfg)
-    w, h = cfg.rt_width, cfg.rt_height
+    pix = _pixel_grid(cfg, row_offset)
+    w, h = cfg.rt_width, cfg.grid_height
     dx = ((pix[:, 0].astype(jnp.float32) + 0.5 + gp.pixel_jitter[0]) / w) * 2.0 - 1.0
     dy = ((pix[:, 1].astype(jnp.float32) + 0.5 + gp.pixel_jitter[1]) / h) * 2.0 - 1.0
     pi = gp.projection_i
@@ -420,10 +427,13 @@ def _resolve_primary(
     )
 
 
-def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg):
-    """Temporal reprojection (DirectRayGen.hlsl:35-48)."""
-    h, w = cfg.rt_height, cfg.rt_width
-    pix = _pixel_grid(cfg).astype(jnp.float32)
+def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg,
+               row_offset=0):
+    """Temporal reprojection (DirectRayGen.hlsl:35-48). The prev buffers
+    cover the FULL image (replicated under row tiling) so flow may cross
+    shard boundaries."""
+    h, w = cfg.grid_height, cfg.rt_width
+    pix = _pixel_grid(cfg, row_offset).astype(jnp.float32)
     px = jnp.floor(pix[:, 0] + 0.5 + flow[0]).astype(jnp.int32)
     py = jnp.floor(pix[:, 1] + 0.5 + flow[1]).astype(jnp.int32)
     inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
@@ -439,14 +449,15 @@ def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg):
 
 def direct_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, hist: History,
-    pix, bn_table, noise_rand,
+    pix, bn_table, noise_rand, row_offset=0,
 ):
     """DirectRayGen.hlsl:14-65. Returns (4, N) accumulation."""
     n = g.instance.shape[0]
     no_hit = g.instance < 0
 
     prev_rgb, prev_len = _reproject(
-        hist.direct, hist.depth, hist.normal, g.depth, g.normal, g.flow, cfg
+        hist.direct, hist.depth, hist.normal, g.depth, g.normal, g.flow, cfg,
+        row_offset,
     )
     new_direct = jnp.where(gp.di_reproject, prev_rgb, jnp.zeros((3, n)))
     hist_len = jnp.where(gp.di_reproject, prev_len, jnp.zeros((n,)))
@@ -514,7 +525,7 @@ def _simple_resolve(shade, t_all, k1, origins, dirs):
 
 def indirect_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, hist: History,
-    pix, bn_table, noise_rand, bg_planes,
+    pix, bn_table, noise_rand, bg_planes, row_offset=0,
 ):
     """IndirectRayGen.hlsl:31-137: 1-bounce blue-noise diffuse GI."""
     n = g.instance.shape[0]
@@ -529,7 +540,8 @@ def indirect_pass(
     normal = g.normal
 
     prev_rgb, prev_len = _reproject(
-        hist.indirect, hist.depth, hist.normal, g.depth, normal, g.flow, cfg
+        hist.indirect, hist.depth, hist.normal, g.depth, normal, g.flow, cfg,
+        row_offset,
     )
     new_indirect = jnp.where(gp.gi_reproject, prev_rgb, jnp.zeros((3, n)))
     hist_len = jnp.where(gp.gi_reproject, prev_len, jnp.zeros((n,)))
@@ -864,6 +876,7 @@ def render_frame(
     bg_planes,  # (3, H, W) raster background
     cfg: RenderConfig,
     visualization_mode: int = 0,
+    row_offset=0,
 ) -> FrameOutputs:
     """The full frame: View::render as one pure function."""
     h, w = cfg.rt_height, cfg.rt_width
@@ -872,12 +885,12 @@ def render_frame(
     tri_rows, rows_t = shade_ops.build_tri_rows(sb)
     trace_scene = make_trace_scene(sb, rows_t, cfg.alpha_cap)
 
-    pix, origins, dirs = primary_rays(cfg, gp)
+    pix, origins, dirs = primary_rays(cfg, gp, row_offset)
     noise_rand = _noise_rand(cfg, gp, pix)
 
     # Background + sky (PrimaryRayGen.hlsl:47-56).
     su = (pix[:, 0].astype(jnp.float32) + gp.pixel_jitter[0]) / w
-    sv = (pix[:, 1].astype(jnp.float32) + gp.pixel_jitter[1]) / h
+    sv = (pix[:, 1].astype(jnp.float32) + gp.pixel_jitter[1]) / cfg.grid_height
     bg_color = sky.sample_background_2d(bg_planes, su, sv)
     sky_c = sky.sample_sky_2d(
         sb.quad_pool, sb.quad_records, jnp.broadcast_to(gp.sky_plane_rec, (n,)),
@@ -899,11 +912,12 @@ def render_frame(
     )
 
     direct_accum = direct_pass(
-        sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table, noise_rand
+        sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
+        noise_rand, row_offset,
     )
     indirect_accum = indirect_pass(
         sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
-        noise_rand, bg_planes,
+        noise_rand, bg_planes, row_offset,
     )
     refraction_rgb = refraction_pass(
         sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
