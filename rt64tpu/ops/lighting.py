@@ -76,15 +76,22 @@ def trace_shadow_factor(
     blocked = hits.tri_op >= 0
     if k_alpha > 0:
         n = origins.shape[1]
-        tri_flat = hits.tri_a.T.reshape(-1)  # (K*N,)
-        u_flat = hits.uv_a[..., 0].T.reshape(-1)
-        v_flat = hits.uv_a[..., 1].T.reshape(-1)
-        dirs_flat = jnp.tile(dirs, (1, k_alpha))
-        hs = shade_ops.shade_hits(
-            sb, tri_rows, dirs_flat, tri_flat, u_flat, v_flat,
-            jnp.tile(noise_rand, k_alpha), shadow_variant=True,
+
+        def shade_alpha(_):
+            tri_flat = hits.tri_a.T.reshape(-1)  # (K*N,)
+            u_flat = hits.uv_a[..., 0].T.reshape(-1)
+            v_flat = hits.uv_a[..., 1].T.reshape(-1)
+            dirs_flat = jnp.tile(dirs, (1, k_alpha))
+            hs = shade_ops.shade_hits(
+                sb, tri_rows, dirs_flat, tri_flat, u_flat, v_flat,
+                jnp.tile(noise_rand, k_alpha), shadow_variant=True,
+            )
+            return hs.color[3].reshape(k_alpha, n).sum(0)
+
+        alpha_sum = jax.lax.cond(
+            jnp.any(hits.tri_a >= 0), shade_alpha, lambda _: jnp.zeros((n,)),
+            None,
         )
-        alpha_sum = hs.color[3].reshape(k_alpha, n).sum(0)
     else:
         alpha_sum = 0.0
     factor = jnp.maximum(1.0 - alpha_sum, 0.0)

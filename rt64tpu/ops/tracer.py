@@ -176,8 +176,10 @@ def trace_opaque(
     n_chunks = t_total // chunk
     rays = _Rays.of(origins, dirs, t_min, t_max)
 
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
     def body(carry, ci):
-        t_op, code_op = carry
+        t_op, tri_op = carry
         s = ci * chunk
         sl3 = lambda a: jax.lax.dynamic_slice(a, (0, s), (3, chunk))
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, chunk)
@@ -187,29 +189,51 @@ def trace_opaque(
         )
         hit = hit & (sl(scene.valid) & ~sl(scene.alpha))[None, :]
         key = jnp.where(hit, t - sl(scene.bias)[None, :], _BIG)
-        arg = jnp.argmin(key, axis=1)
-        take = lambda a: jnp.take_along_axis(a, arg[:, None], axis=1)[:, 0]
-        best = take(key)
+        # Min + masked index reduce: no argmin/take_along_axis (gathers
+        # are the expensive op on TPU; two reduces are nearly free).
+        best = key.min(axis=1)
+        idx = jnp.where(key <= best[:, None], s + col, -1).max(axis=1)
         better = best < t_op
         t_op = jnp.where(better, best, t_op)
-        # Pack (tri, u, v) selection through one index: re-gather uv on
-        # the winning chunk only via stored chunk-local data.
-        code_new = jnp.stack([(s + arg).astype(jnp.float32), take(u), take(v)], 0)
-        code_op = jnp.where(better[None, :], code_new, code_op)
-        return (t_op, code_op), None
+        tri_op = jnp.where(better, idx, tri_op)
+        return (t_op, tri_op), None
 
-    init = (
-        jnp.full((n,), _BIG, jnp.float32),
-        jnp.concatenate(
-            [jnp.full((1, n), -1.0), jnp.zeros((2, n))], axis=0
-        ).astype(jnp.float32),
-    )
-    (t_op, code_op), _ = jax.lax.scan(
+    init = (jnp.full((n,), _BIG, jnp.float32), jnp.full((n,), -1, jnp.int32))
+    (t_op, tri_op), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    tri_op = jnp.where(t_op < _BIG * 0.5, code_op[0].astype(jnp.int32), -1)
-    uv_op = jnp.stack([code_op[1], code_op[2]], axis=-1)
+    tri_op = jnp.where(t_op < _BIG * 0.5, tri_op, -1)
+    # Recover barycentrics by re-intersecting only the winning triangle
+    # (one row-gather per ray).
+    uv_op = _reintersect_uv(rays, scene, tri_op)
     return t_op, tri_op, uv_op
+
+
+def _reintersect_uv(rays: _Rays, scene: TraceScene, tri):
+    """Barycentrics of a known hit triangle per ray: gather its corners
+    (3 small row-gathers) and redo the Moller-Trumbore uv math."""
+    tri_s = jnp.maximum(tri, 0)
+    c0 = scene.v0[:, tri_s]  # (3, N)
+    c1 = scene.v1[:, tri_s]
+    c2 = scene.v2[:, tri_s]
+    e1 = c1 - c0
+    e2 = c2 - c0
+    dx, dy, dz = rays.dx[:, 0], rays.dy[:, 0], rays.dz[:, 0]
+    px = dy * e2[2] - dz * e2[1]
+    py = dz * e2[0] - dx * e2[2]
+    pz = dx * e2[1] - dy * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tx = rays.ox[:, 0] - c0[0]
+    ty = rays.oy[:, 0] - c0[1]
+    tz = rays.oz[:, 0] - c0[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    ok = (tri >= 0)
+    return jnp.stack([jnp.where(ok, u, 0.0), jnp.where(ok, v, 0.0)], axis=-1)
 
 
 def trace_alpha(
@@ -289,9 +313,26 @@ def trace(
         chunk=chunk,
     )
     if k_alpha > 0:
-        t_ab, tri_a, uv_a = trace_alpha(
-            origins, dirs, t_min, t_max, scene, k_alpha, cull_backface
-        )
+        # Most scenes/frames have no alpha-class triangles at all; skip
+        # the whole alpha sweep at runtime when the compacted list is
+        # empty (lax.cond executes one branch).
+        n = origins.shape[1]
+        k = k_alpha
+
+        def run_alpha(_):
+            return trace_alpha(
+                origins, dirs, t_min, t_max, scene, k_alpha, cull_backface
+            )
+
+        def skip_alpha(_):
+            return (
+                jnp.full((n, k), _BIG, jnp.float32),
+                jnp.full((n, k), -1, jnp.int32),
+                jnp.zeros((n, k, 2), jnp.float32),
+            )
+
+        any_alpha = jnp.any(scene.alpha_idx >= 0)
+        t_ab, tri_a, uv_a = jax.lax.cond(any_alpha, run_alpha, skip_alpha, None)
         # Alpha hits at/behind the opaque hit can never contribute.
         behind = t_ab >= t_opb[:, None]
         tri_a = jnp.where(behind, -1, tri_a)

@@ -124,7 +124,10 @@ class ViewRenderer:
             display_height=dh,
             di_samples=int(vd.di_samples),
             gi_samples=int(vd.gi_samples),
-            max_lights=int(vd.max_lights),
+            # The reference walks min(sLightCount, maxLightCount) per
+            # pixel (Lights.hlsli:137); statically cap the selection
+            # loop by the actual light count to avoid dead rounds.
+            max_lights=max(1, min(int(vd.max_lights), len(view.scene.lights))),
             max_reflections=view.max_reflections,
             denoiser_enabled=bool(vd.denoiser_enabled),
             upscaler=int(vd.upscaler),
