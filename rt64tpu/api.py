@@ -150,6 +150,7 @@ class Mesh:
         perm = morton_order(positions, self.indices.astype(np.int64))
         out = {
             "positions": positions,
+            "positions4": f32[:, 0:4].copy(),
             "normals": normals,
             "uvs": uvs,
             "inputs": inputs,
@@ -158,6 +159,11 @@ class Mesh:
         }
         self._parsed_cache[layout_key] = out
         return out
+
+    def parsed_clip(self, layout_key: tuple) -> dict:
+        """Raster-path view: positions kept as clip-space float4
+        (the passthrough VS contract, rt64_shader.cpp:347-356)."""
+        return self.parsed(layout_key)
 
 
 class Texture:

@@ -31,6 +31,7 @@ class SceneLimits:
     texel_pool: int = 1 << 20  # RGBA8 texels in the atlas pool
     max_hit_queries: int = 16  # MAX_HIT_QUERIES (GlobalHitBuffers.hlsli:8)
     alpha_triangles: int = 256  # compacted alpha-class triangle capacity
+    raster_triangles: int = 64  # raster bg/fg triangle capacity (each)
     cluster_size: int = 32  # triangles per leaf cluster
     clusters_per_group: int = 8  # clusters per mid-level AABB group
     vertex_inputs: int = 2  # supported per-vertex combiner input colors

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rt64tpu.ops import bluenoise, filters, fog, lighting, sky, tracer
+from rt64tpu.ops import bluenoise, filters, fog, lighting, raster, sky, tracer
 from rt64tpu.ops import random as rnd
 from rt64tpu.ops import shading as shade_ops
 from rt64tpu.ops import vecmath as vm
@@ -888,6 +888,17 @@ def render_frame(
     pix, origins, dirs = primary_rays(cfg, gp, row_offset)
     noise_rand = _noise_rand(cfg, gp, pix)
 
+    # Raster background pass (rt64_view.cpp:1292-1319): composited over
+    # the host-provided plane; rays sample the result.
+    bg_rgba = jnp.concatenate(
+        [bg_planes.reshape(3, n), jnp.ones((1, n))], 0
+    )
+    bg_rgba = raster.rasterize(
+        bg_rgba, sb.raster_bg, sb.raster_bg_count, sb.instance_rows,
+        sb.quad_pool, sb.quad_records, w, h, noise_rand, row_offset,
+    )
+    bg_planes = bg_rgba[:3].reshape(3, h, w)
+
     # Background + sky (PrimaryRayGen.hlsl:47-56).
     su = (pix[:, 0].astype(jnp.float32) + gp.pixel_jitter[0]) / w
     sv = (pix[:, 1].astype(jnp.float32) + gp.pixel_jitter[1]) / cfg.grid_height
@@ -975,6 +986,19 @@ def render_frame(
             visualization_mode, cfg, g, direct_accum, indirect_accum,
             filtered_direct, filtered_indirect, reflection_rgb, refraction_rgb,
         )
+
+    # Raster foreground (HUD) over the final image
+    # (rt64_view.cpp:1657-1661), at display resolution.
+    dh, dw = disp.shape[1], disp.shape[2]
+    disp_rgba = jnp.concatenate(
+        [disp.reshape(3, dh * dw), jnp.ones((1, dh * dw))], 0
+    )
+    fg_noise = jnp.zeros((dh * dw,))
+    disp_rgba = raster.rasterize(
+        disp_rgba, sb.raster_fg, sb.raster_fg_count, sb.instance_rows,
+        sb.quad_pool, sb.quad_records, dw, dh, fg_noise,
+    )
+    disp = disp_rgba[:3].reshape(3, dh, dw)
 
     new_history = History(
         normal=g.normal, depth=g.depth, direct=direct_accum,

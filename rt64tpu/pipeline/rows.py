@@ -46,7 +46,9 @@ I_TEX_S = 65  # specular map record id
 I_SAMPLER = 66  # filter + 4*h_addr + 16*v_addr
 I_ELIG = 67  # 16: per-light-slot eligibility (group mask & light bits)
 I_INPUT_COUNT = 83
-IROW = 84
+I_VIEWPORT = 84  # 4: x, y, w, h (0 w/h = full target) — raster path
+I_SCISSOR = 88  # 4: x, y, w, h (0 w/h = disabled)
+IROW = 92
 
 # material float sub-layout (relative to I_MAT / T_MAT)
 M_IGNORE_NORMAL = 0

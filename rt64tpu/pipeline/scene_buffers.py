@@ -43,6 +43,10 @@ class SceneBuffers(NamedTuple):
     light_count: jax.Array  # () int32
     quad_pool: jax.Array  # (P, 4) uint32 sampling-ready texels
     quad_records: jax.Array  # (Rec, 3) int32: offset, width, height
+    raster_bg: jax.Array  # (RB, RR_WIDTH) raster background triangles
+    raster_bg_count: jax.Array  # () int32
+    raster_fg: jax.Array  # (RB, RR_WIDTH) raster foreground (HUD)
+    raster_fg_count: jax.Array  # () int32
 
 
 def _addr_np(i, size, mode):
@@ -107,9 +111,6 @@ class ScenePacker:
                 if key not in seen:
                     seen.add(key)
                     combos.append((tex, sh.h_addr, sh.v_addr))
-        # Sky plane textures sample with wrap/wrap (gBackgroundSampler).
-        for inst in instances:
-            pass
         key = tuple((id(t), h, v) for t, h, v in combos)
         if key == self._quad_key:
             return
@@ -204,7 +205,11 @@ class ScenePacker:
         self.triangle_count = toff
 
     # -- per-frame -------------------------------------------------------------
-    def pack_frame(self, instances: List[Instance], lights_arrays) -> SceneBuffers:
+    def pack_frame(self, instances: List[Instance], lights_arrays,
+                   raster_bg=None, raster_fg=None) -> SceneBuffers:
+        """instances: raytraced + raster, in one list (instance rows are
+        shared); raster_bg/raster_fg: (instance_index, parsed) pairs for
+        the raster classification (rt64_view.cpp:1081-1147)."""
         lm = self.limits
         I = lm.max_instances
         larr, lgroups = lights_arrays
@@ -289,6 +294,11 @@ class ScenePacker:
                 irows[ii, R.I_TEX_N] = rec_id(de.normal_texture)
                 irows[ii, R.I_TEX_S] = rec_id(de.specular_texture)
 
+            if de.viewport_rect is not None:
+                irows[ii, R.I_VIEWPORT : R.I_VIEWPORT + 4] = de.viewport_rect
+            if de.scissor_rect is not None:
+                irows[ii, R.I_SCISSOR : R.I_SCISSOR + 4] = de.scissor_rect
+
             # Light eligibility: exact uint32 mask test done on host.
             gm = np.uint32(m.light_group_mask_bits & 0xFFFFFFFF)
             nl = min(len(lgroups), R.MAX_ELIG_LIGHTS, lm.max_lights)
@@ -300,6 +310,9 @@ class ScenePacker:
         count = min(len(larr), L)
         lights[:count] = larr[:count, :LIGHT_WIDTH]
 
+        rb_rows, rb_count = self._pack_raster(instances, raster_bg or [])
+        rf_rows, rf_count = self._pack_raster(instances, raster_fg or [])
+
         return SceneBuffers(
             vertex_rows=jnp.asarray(self._np["vertex_rows"]),
             tri_idx=jnp.asarray(self._np["tri_idx"]),
@@ -310,7 +323,49 @@ class ScenePacker:
             light_count=jnp.int32(count),
             quad_pool=jnp.asarray(self._np["quad_pool"]),
             quad_records=jnp.asarray(self._np["quad_records"]),
+            raster_bg=jnp.asarray(rb_rows),
+            raster_bg_count=jnp.int32(rb_count),
+            raster_fg=jnp.asarray(rf_rows),
+            raster_fg_count=jnp.int32(rf_count),
         )
+
+    def _pack_raster(self, instances: List[Instance], raster_list):
+        """Pack raster triangles (clip-space) into RR rows."""
+        from rt64tpu.ops.raster import (
+            RR_POS, RR_UV, RR_IN1, RR_IN2, RR_INST, RR_WIDTH,
+        )
+
+        cap = self.limits.raster_triangles
+        rows = np.zeros((cap, RR_WIDTH), np.float32)
+        count = 0
+        for inst in raster_list:
+            ii = instances.index(inst)
+            mesh = inst.desc.mesh
+            shader = inst.desc.shader
+            if mesh is None or shader is None or mesh.indices is None:
+                continue
+            parsed = mesh.parsed_clip(shader.layout_key)
+            tris = parsed["indices"]
+            for t in range(tris.shape[0]):
+                if count >= cap:
+                    break
+                for k in range(3):
+                    vi = tris[t, k]
+                    rows[count, RR_POS + 4 * k : RR_POS + 4 * k + 4] = (
+                        parsed["positions4"][vi]
+                    )
+                    rows[count, RR_UV + 2 * k : RR_UV + 2 * k + 2] = (
+                        parsed["uvs"][vi]
+                    )
+                    rows[count, RR_IN1 + 4 * k : RR_IN1 + 4 * k + 4] = (
+                        parsed["inputs"][vi, 0]
+                    )
+                    rows[count, RR_IN2 + 4 * k : RR_IN2 + 4 * k + 4] = (
+                        parsed["inputs"][vi, 1]
+                    )
+                rows[count, RR_INST] = ii
+                count += 1
+        return rows, count
 
     @staticmethod
     def _alpha_class(shader, material: d.Material) -> bool:

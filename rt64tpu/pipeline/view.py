@@ -43,19 +43,40 @@ class ViewRenderer:
     def update(self):
         view = self.view
         scene = view.scene
-        # Raytraced instances only; raster bg/fg instances are classified
-        # out (rt64_view.cpp:1081-1147) and composited by the raster path.
-        active = [
+        # Instance classification (rt64_view.cpp:1081-1147): raytraced
+        # instances feed the tracer; raster-enabled shaders without
+        # raytracing go to the bg (RASTER_BACKGROUND flag) or fg sets.
+        bound = [
             inst for inst in scene.instances
             if inst.desc.mesh is not None and inst.desc.shader is not None
-            and inst.desc.shader.raytrace_enabled
+        ]
+        active = [
+            inst for inst in bound
+            if inst.desc.shader.raytrace_enabled
             and not (inst.desc.flags & d.INSTANCE_RASTER_BACKGROUND)
         ]
+        raster = [
+            inst for inst in bound
+            if inst.desc.shader.raster_enabled
+            and not inst.desc.shader.raytrace_enabled
+            or (inst.desc.flags & d.INSTANCE_RASTER_BACKGROUND)
+        ]
+        raster_bg = [
+            i for i in raster if i.desc.flags & d.INSTANCE_RASTER_BACKGROUND
+        ]
+        raster_fg = [
+            i for i in raster
+            if not (i.desc.flags & d.INSTANCE_RASTER_BACKGROUND)
+        ]
+        everything = active + raster
         self.active_instances = active
-        self.packer.pack_quad_pool(active)
+        self.packer.pack_quad_pool(everything)
         self._sky_rec = self.packer.add_env_texture(view.sky_plane_texture)
         self.packer.pack_geometry(active)
-        self._sb = self.packer.pack_frame(active, scene.lights_array())
+        self._sb = self.packer.pack_frame(
+            everything, scene.lights_array(), raster_bg=raster_bg,
+            raster_fg=raster_fg,
+        )
 
     # -- render: the View::render analog ------------------------------------
     def render(self, delta_time_ms: float):

@@ -113,6 +113,30 @@ SID_TEX_TIMES_INPUT = shader_id(
 SID_SAMPLE_SPHERE = 0x01200A00
 
 
+def hud_triangle(scene, device, color=(1.0, 0.2, 0.2, 0.8), background=False):
+    """A clip-space raster triangle (HUD/bg quad analog,
+    main.cpp:356-374). Vertex layout: pos4 + nrm3 + input1 rgba
+    (opt_alpha combiner)."""
+    sid = shader_id((0, 0, 0, d.MATERIAL_CC_SHADER_INPUT_1), opt_alpha=True)
+    sh = rt64tpu.Shader(device, sid, flags=d.SHADER_RASTER_ENABLED)
+    if background:
+        verts = [(-1, -1), (3, -1), (-1, 3)]  # covers the whole screen
+    else:
+        verts = [(-0.95, 0.95), (-0.55, 0.95), (-0.75, 0.55)]
+    rows = []
+    for x, y in verts:
+        rows.append([x, y, 0.5, 1.0, 0, 0, 1] + list(color))
+    data = np.array(rows, np.float32)
+    mesh = rt64tpu.Mesh(device, 0)
+    mesh.set_mesh(data, 3, data.shape[1] * 4, np.array([0, 1, 2], np.uint32))
+    inst = rt64tpu.Instance(scene)
+    inst.set_description(d.InstanceDesc(
+        mesh=mesh, shader=sh, material=d.Material(),
+        flags=d.INSTANCE_RASTER_BACKGROUND if background else 0,
+    ))
+    return inst
+
+
 def build_sample_scene(width=320, height=240, limits=None, di_samples=1,
                        gi_samples=1, denoiser=False, upscaler=d.UPSCALER_OFF,
                        sphere_reflection=0.3):

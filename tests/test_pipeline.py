@@ -68,3 +68,22 @@ def test_visualization_modes_render():
         dev.draw()
         fb = view.framebuffer()
         assert fb[..., :3].std() > 0
+
+
+def test_raster_hud_and_background():
+    import rt64tpu
+    from rt64tpu.utils.testscenes import build_sample_scene, hud_triangle
+
+    dev, scene, view = build_sample_scene(width=64, height=48)
+    hud = hud_triangle(scene, dev, color=(1.0, 0.1, 0.1, 1.0))
+    bg = hud_triangle(scene, dev, color=(0.1, 0.9, 0.1, 1.0), background=True)
+    dev.draw()
+    fb = view.framebuffer().astype(np.float32)
+    # HUD triangle occupies the top-left region: strongly red.
+    hud_px = fb[5, 8]
+    assert hud_px[0] > 150 and hud_px[1] < 100, hud_px
+    # The sky area (no sphere/floor, top-right) shows the green raster
+    # background blended through the sky alpha.
+    out = view._renderer._last
+    bgc = np.asarray(out.gbuffers.diffuse_rgb.reshape(3, 48, 64))[:, 2, 60]
+    assert bgc[1] > bgc[0], bgc  # green dominates where rays miss
