@@ -87,3 +87,23 @@ def test_raster_hud_and_background():
     out = view._renderer._last
     bgc = np.asarray(out.gbuffers.diffuse_rgb.reshape(3, 48, 64))[:, 2, 60]
     assert bgc[1] > bgc[0], bgc  # green dominates where rays miss
+
+
+def test_checkpoint_resume(tmp_path, sample):
+    from rt64tpu.utils.checkpoint import save_view_state, restore_view_state
+
+    dev, scene, view = sample
+    dev.draw()
+    path = str(tmp_path / "state.npz")
+    save_view_state(view, path)
+    hist_before = np.asarray(view._renderer.history.indirect)
+    fc_before = view.frame_count
+    # Clobber state, then restore.
+    view._renderer.history = None
+    view.frame_count = 0
+    restore_view_state(view, path)
+    np.testing.assert_array_equal(
+        np.asarray(view._renderer.history.indirect), hist_before
+    )
+    assert view.frame_count == fc_before
+    dev.draw()  # resumes cleanly
