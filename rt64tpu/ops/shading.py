@@ -33,6 +33,7 @@ class HitShade(NamedTuple):
     flow: jax.Array  # (3, M) world-space motion (cur - prev)
     instance: jax.Array  # (M,) int32, -1 for empty slots
     rows_t: jax.Array  # (TROW, M) the gathered rows (for extra columns)
+    tri: jax.Array  # (M,) int32 triangle ids (-1 empty); set by callers
 
 
 def interp3(gt, base, w0, u, v):
@@ -157,6 +158,7 @@ def shade_hits(
             normal=zeros3, specular=zeros3, flow=zeros3,
             instance=jnp.where(valid, gt[R.T_INST].astype(jnp.int32), -1),
             rows_t=gt,
+            tri=tri,
         )
 
     # Positive diffuse mix after the combiner (rt64_shader.cpp:497).
@@ -211,6 +213,7 @@ def shade_hits(
         flow=jnp.where(vmask, flow, 0.0),
         instance=jnp.where(valid, gt[R.T_INST].astype(jnp.int32), -1),
         rows_t=gt,
+        tri=tri,
     )
 
 

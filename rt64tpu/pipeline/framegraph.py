@@ -251,12 +251,20 @@ def _trace_and_shade(
         tri_all.reshape(-1), u_all.reshape(-1), v_all.reshape(-1),
         jnp.tile(noise_rand, k1),
     )
+    shade = shade._replace(tri=tri_all.reshape(-1))
     return shade, t_all, k1
 
 
 def _slot(arr, n, s):
     """Slice slot s from a flattened (..., K1*N) array."""
     return jax.lax.dynamic_slice_in_dim(arr, s * n, n, axis=arr.ndim - 1)
+
+
+def _row_of(tri_rows, tri, valid):
+    """Gather triangle rows for resolved per-pixel winners: ONE gather
+    instead of carrying (TROW, N) selects through the slot loop."""
+    row = tri_rows[jnp.maximum(tri, 0)].T
+    return row * valid[None].astype(row.dtype)
 
 
 def _resolve_primary(
@@ -275,18 +283,19 @@ def _resolve_primary(
     refl_alpha = jnp.zeros((n,))
     refr_alpha = jnp.zeros((n,))
     stored = jnp.zeros((n,), bool)
-    st_row = jnp.zeros((R.TROW, n))
+    st_tri = jnp.zeros((n,), jnp.int32)  # winning tri id; row gathered once
     st_pos = jnp.zeros((3, n))
     st_nrm = -dirs
     st_spec = jnp.zeros((3, n))
     st_inst = jnp.full((n,), -1, jnp.int32)
     st_flow3 = jnp.zeros((3, n))
     tl_stored = jnp.zeros((n,), bool)
+    tl_tri = jnp.zeros((n,), jnp.int32)
     tl_pos = jnp.zeros((3, n))
     tl_nrm = jnp.zeros((3, n))
     tl_spec = jnp.zeros((3, n))
-    tl_row = jnp.zeros((R.TROW, n))
 
+    tri_slots = shade.tri  # (K1*N,) original triangle ids
     for s in range(k1):
         color = _slot(shade.color, n, s)  # (4, N)
         inst = _slot(shade.instance, n, s)
@@ -347,7 +356,7 @@ def _resolve_primary(
         tl_pos = jnp.where(take_tl[None], hit_pos, tl_pos)
         tl_nrm = jnp.where(take_tl[None], normal, tl_nrm)
         tl_spec = jnp.where(take_tl[None], spec, tl_spec)
-        tl_row = jnp.where(take_tl[None], grow, tl_row)
+        tl_tri = jnp.where(take_tl, _slot(tri_slots, n, s), tl_tri)
         trans_lit_sum = trans_lit_sum + jnp.where(trans_lit[None], color_add, 0.0)
         res_transparent = res_transparent + jnp.where(
             trans_lit[None], color_add * (ambient + self_l), 0.0
@@ -373,10 +382,14 @@ def _resolve_primary(
         st_spec = jnp.where(store_hit[None], spec, st_spec)
         st_inst = jnp.where(store_hit, inst, st_inst)
         st_flow3 = jnp.where(store_hit[None], flow3, st_flow3)
-        st_row = jnp.where(store_hit[None], grow, st_row)
+        st_tri = jnp.where(store_hit, _slot(tri_slots, n, s), st_tri)
 
     # Shared transparent light (1 light, checkShadows=true,
-    # PrimaryRayGen.hlsl:139-147).
+    # PrimaryRayGen.hlsl:139-147). One row gather per selected id
+    # replaces carrying full rows through the slot loop.
+    tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
+    st_row = tri_rows[jnp.maximum(st_tri, 0)].T
+    st_row = st_row * stored[None].astype(st_row.dtype)
     tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
     tl_light = lighting.compute_lights_random(
         sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
@@ -490,7 +503,7 @@ def direct_pass(
     return jnp.where(no_hit[None], miss, out)
 
 
-def _simple_resolve(shade, t_all, k1, origins, dirs):
+def _simple_resolve(shade, t_all, k1, origins, dirs, tri_rows):
     """Secondary-ray resolve (IndirectRayGen.hlsl:95-117): accumulate
     color front-to-back, remember the last contributing hit."""
     n = dirs.shape[1]
@@ -499,7 +512,7 @@ def _simple_resolve(shade, t_all, k1, origins, dirs):
     res_pos = jnp.zeros((3, n))
     res_nrm = jnp.zeros((3, n))
     res_spec = jnp.zeros((3, n))
-    res_row = jnp.zeros((R.TROW, n))
+    res_tri = jnp.zeros((n,), jnp.int32)
     res_inst = jnp.full((n,), -1, jnp.int32)
     for s in range(k1):
         color = _slot(shade.color, n, s)
@@ -518,8 +531,9 @@ def _simple_resolve(shade, t_all, k1, origins, dirs):
         res_pos = jnp.where(live[None], hit_pos, res_pos)
         res_nrm = jnp.where(live[None], normal, res_nrm)
         res_spec = jnp.where(live[None], spec, res_spec)
-        res_row = jnp.where(live[None], grow, res_row)
+        res_tri = jnp.where(live, _slot(shade.tri, n, s), res_tri)
         res_inst = jnp.where(live, inst, res_inst)
+    res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     return res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row
 
 
@@ -561,7 +575,7 @@ def indirect_pass(
             cfg.k_secondary, noise_rand, cfg,
         )
         res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row = (
-            _simple_resolve(shade, t_all, k1, origin, ray_dir)
+            _simple_resolve(shade, t_all, k1, origin, ray_dir, tri_rows)
         )
 
         bg = sky.sample_background_env(bg_planes, ray_dir)
@@ -625,7 +639,7 @@ def _cos_hemisphere(r1, r2, normal):
 
 
 def _lit_secondary_resolve(
-    sb, gp, shade, t_all, k1, origins, dirs, fog_mode, store_any,
+    sb, gp, shade, t_all, k1, origins, dirs, fog_mode, store_any, tri_rows,
 ):
     """Reflection/refraction hit resolve with fog + lighting split
     (ReflectionRayGen.hlsl:68-126, RefractionRayGen.hlsl:63-110)."""
@@ -637,7 +651,7 @@ def _lit_secondary_resolve(
     res_pos = jnp.zeros((3, n))
     res_nrm = jnp.zeros((3, n))
     res_spec = jnp.zeros((3, n))
-    res_row = jnp.zeros((R.TROW, n))
+    res_tri = jnp.zeros((n,), jnp.int32)
     res_inst = jnp.full((n,), -1, jnp.int32)
     for s in range(k1):
         color = _slot(shade.color, n, s)
@@ -682,9 +696,10 @@ def _lit_secondary_resolve(
         res_pos = jnp.where(store[None], hit_pos, res_pos)
         res_nrm = jnp.where(store[None], normal, res_nrm)
         res_spec = jnp.where(store[None], spec, res_spec)
-        res_row = jnp.where(store[None], grow, res_row)
+        res_tri = jnp.where(store, _slot(shade.tri, n, s), res_tri)
         res_inst = jnp.where(store, inst, res_inst)
         res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
+    res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
             res_transparent)
 
@@ -716,7 +731,7 @@ def refraction_pass(
     )
     (rgb, res_a, pos, nrm, spec, inst, row, transparent) = _lit_secondary_resolve(
         sb, gp, shade, t_all, k1, g.position, ray_dir, fog_mode="camera",
-        store_any=False,
+        store_any=False, tri_rows=tri_rows,
     )
     ctx = lighting.ctx_from_rows(row, inst >= 0)
     direct = lighting.compute_lights_random(
@@ -780,7 +795,7 @@ def reflection_pass(
     res_pos = jnp.zeros((3, n))
     res_nrm = jnp.zeros((3, n))
     res_spec = jnp.zeros((3, n))
-    res_row = jnp.zeros((R.TROW, n))
+    res_tri = jnp.zeros((n,), jnp.int32)
     res_inst = jnp.full((n,), -1, jnp.int32)
     new_refl_a = jnp.zeros((n,))
     for s in range(k1):
@@ -828,10 +843,11 @@ def reflection_pass(
         res_pos = jnp.where(live[None], hit_pos, res_pos)
         res_nrm = jnp.where(live[None], normal, res_nrm)
         res_spec = jnp.where(live[None], spec, res_spec)
-        res_row = jnp.where(live[None], grow, res_row)
+        res_tri = jnp.where(live, _slot(shade.tri, n, s), res_tri)
         res_inst = jnp.where(live, inst, res_inst)
         res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
 
+    res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     # Lighting at the final hit (checkShadows=false,
     # ReflectionRayGen.hlsl:125-132) + shading-buffer writeback.
     ctx = lighting.ctx_from_rows(res_row, res_inst >= 0)
