@@ -1,0 +1,286 @@
+"""Pallas packet tracer: cluster-culled closest-hit traversal.
+
+The TPU-native replacement for the driver's BVH traversal (DXR TraceRay
+behind contrib/nv_helpers_dx12 BLAS/TLAS builds). Instead of a per-ray
+pointer-chasing BVH walk (hostile to 8x128 vector lanes), traversal is
+*packet-granular*:
+
+  1. Triangles are Morton-ordered at mesh upload (ops/geometry.py), so
+     consecutive CLUSTER_SIZE triangles are spatially coherent; their
+     AABBs refit each frame from the triangle rows in one reduction.
+  2. An XLA pre-pass slab-tests every ray against every cluster AABB
+     (cheap vector math) and reduces to a per-ray-BLOCK visit list:
+     which clusters any ray in the block might hit, compacted.
+  3. The Pallas kernel walks each block's visit list: cluster triangle
+     data (SoA, edge-precomputed) is DMA'd HBM->VMEM double-buffered
+     while the previous cluster's 512x128 Moller-Trumbore block runs on
+     the VPU. Work is data-dependent per block — empty sky blocks visit
+     nothing — while every executed instruction stays full-width.
+
+Outputs match tracer.trace_opaque (biased-t + triangle id; barycentrics
+recovered by the shared single-triangle re-intersection), so this
+kernel drops in through the opaque_fn hook and is validated against the
+XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e37
+
+CLUSTER_SIZE = 128  # triangles per cluster (one lane tile)
+BLOCK_RAYS = 512  # rays per kernel program (4 sublane rows of 128)
+
+# Cluster data rows (SoA within a cluster): shape (n_clusters, C_ROWS, CS).
+C_V0X, C_V0Y, C_V0Z = 0, 1, 2
+C_E1X, C_E1Y, C_E1Z = 3, 4, 5
+C_E2X, C_E2Y, C_E2Z = 6, 7, 8
+C_BIAS = 9
+C_ACTIVE = 10  # 1.0 when valid opaque-class
+C_NO_CULL = 11
+C_ROWS = 12
+
+
+def build_cluster_data(scene):
+    """Cluster-major triangle data + AABBs from a TraceScene (planar).
+
+    Returns (cluster_tris (nc, C_ROWS, CS), aabb_lo (3, nc), aabb_hi (3, nc)).
+    """
+    t_total = scene.num_triangles
+    assert t_total % CLUSTER_SIZE == 0, t_total
+    nc = t_total // CLUSTER_SIZE
+
+    v0, v1, v2 = scene.v0, scene.v1, scene.v2  # (3, T)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    active = (scene.valid & ~scene.alpha).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [v0, e1, e2, scene.bias[None], active[None],
+         scene.no_cull.astype(jnp.float32)[None]],
+        axis=0,
+    )  # (C_ROWS, T)
+    cluster_tris = (
+        rows.reshape(C_ROWS, nc, CLUSTER_SIZE).transpose(1, 0, 2)
+    )
+
+    big = jnp.float32(_BIG)
+    act = active[None] > 0.0
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    lo = jnp.where(act, lo, big).reshape(3, nc, CLUSTER_SIZE).min(axis=2)
+    hi = jnp.where(act, hi, -big).reshape(3, nc, CLUSTER_SIZE).max(axis=2)
+    return cluster_tris, lo, hi
+
+
+def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
+                      block_rays: int):
+    """Per-ray-block compacted cluster visit lists (XLA pre-pass).
+
+    Returns (visits (n_blocks, nc) int32 cluster ids ordered
+    front-to-...: ascending id, padded with nc; counts (n_blocks,)).
+    """
+    n = origins.shape[1]
+    nc = aabb_lo.shape[1]
+    assert n % block_rays == 0
+
+    # Slab test per (ray, cluster): planar components.
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    t_lo = jnp.full((n, nc), -jnp.inf)
+    t_hi = jnp.full((n, nc), jnp.inf)
+    for c in range(3):
+        o = origins[c][:, None]
+        idir = inv(dirs[c])[:, None]
+        ta = (aabb_lo[c][None, :] - o) * idir
+        tb = (aabb_hi[c][None, :] - o) * idir
+        t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
+    hit = (t_lo <= t_hi) & (t_hi >= t_min[:, None]) & (t_lo <= t_max[:, None])
+
+    n_blocks = n // block_rays
+    block_hit = hit.reshape(n_blocks, block_rays, nc).any(axis=1)
+    counts = block_hit.sum(axis=1).astype(jnp.int32)
+    # Compact ascending cluster ids; pad with nc (an always-empty slot).
+    order = jnp.argsort(~block_hit, axis=1, stable=True).astype(jnp.int32)
+    visits = jnp.where(
+        jnp.arange(nc)[None, :] < counts[:, None], order, nc
+    ).astype(jnp.int32)
+    return visits, counts
+
+
+def _kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, t_ref, tri_ref,
+            scratch, sems, *, cull_backface: bool, nc: int):
+    b = pl.program_id(0)
+    count = counts_ref[b]
+
+    ox = rays_ref[0].reshape(BLOCK_RAYS, 1)
+    oy = rays_ref[1].reshape(BLOCK_RAYS, 1)
+    oz = rays_ref[2].reshape(BLOCK_RAYS, 1)
+    dx = rays_ref[3].reshape(BLOCK_RAYS, 1)
+    dy = rays_ref[4].reshape(BLOCK_RAYS, 1)
+    dz = rays_ref[5].reshape(BLOCK_RAYS, 1)
+    tmin = rays_ref[6].reshape(BLOCK_RAYS, 1)
+    tmax = rays_ref[7].reshape(BLOCK_RAYS, 1)
+
+    def cluster_dma(slot, i):
+        cid = visits_ref[b, i]
+        return pltpu.make_async_copy(
+            cluster_hbm.at[cid], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(count > 0)
+    def _():
+        cluster_dma(0, 0).start()
+
+    def body(i, carry):
+        t_best, tri_best = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < count)
+        def _():
+            cluster_dma(1 - slot, i + 1).start()
+
+        cluster_dma(slot, i).wait()
+        tri = scratch[slot]  # (C_ROWS, CS)
+        cid = visits_ref[b, i]
+
+        v0x = tri[C_V0X][None, :]
+        v0y = tri[C_V0Y][None, :]
+        v0z = tri[C_V0Z][None, :]
+        e1x = tri[C_E1X][None, :]
+        e1y = tri[C_E1Y][None, :]
+        e1z = tri[C_E1Z][None, :]
+        e2x = tri[C_E2X][None, :]
+        e2y = tri[C_E2Y][None, :]
+        e2z = tri[C_E2Z][None, :]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        if cull_backface:
+            # det>eps always accepted; backfaces only when no_cull
+            # (avoids a bool-select, which Mosaic can't lower).
+            keep = (det > 1e-9) | (
+                (tri[C_NO_CULL][None, :] > 0.0) & (det < -1e-9)
+            )
+        else:
+            keep = jnp.abs(det) > 1e-9
+        inv_det = 1.0 / jnp.where(keep, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (
+            keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= tmin) & (t <= tmax) & (tri[C_ACTIVE][None, :] > 0.0)
+        )
+        key = jnp.where(hit, t - tri[C_BIAS][None, :], _BIG)
+        best = key.min(axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CLUSTER_SIZE), 1)
+        idx = jnp.where(
+            key <= best, cid * CLUSTER_SIZE + col, -1
+        ).max(axis=1, keepdims=True)
+        better = best[:, 0] < t_best
+        t_best = jnp.where(better, best[:, 0], t_best)
+        tri_best = jnp.where(better, idx[:, 0], tri_best)
+        return (t_best, tri_best)
+
+    init = (
+        jnp.full((BLOCK_RAYS,), _BIG, jnp.float32),
+        jnp.full((BLOCK_RAYS,), -1, jnp.int32),
+    )
+    t_best, tri_best = jax.lax.fori_loop(0, count, body, init)
+    t_ref[:] = t_best.reshape(1, BLOCK_RAYS // 128, 128)
+    tri_ref[:] = tri_best.reshape(1, BLOCK_RAYS // 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("cull_backface", "interpret"))
+def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts,
+                              cull_backface: bool, interpret: bool):
+    n = rays8.shape[1]
+    n_blocks = n // BLOCK_RAYS
+    nc = cluster_tris.shape[0]
+    kern = functools.partial(_kernel, cull_backface=cull_backface, nc=nc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK_RAYS), lambda b, c, v: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # clusters stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
+                         lambda b, c, v: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
+                         lambda b, c, v: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    t, tri = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(counts, visits, rays8, cluster_tris)
+    return t.reshape(n), tri.reshape(n)
+
+
+def make_opaque_fn(interpret: bool = False):
+    """Build an opaque_fn for tracer.trace: the Pallas packet tracer."""
+
+    def opaque_fn(origins, dirs, t_min, t_max, scene, cull_backface=True,
+                  chunk=0):
+        del chunk
+        from rt64tpu.ops import tracer as xtr
+
+        n = origins.shape[1]
+        pad = (-n) % BLOCK_RAYS
+        if pad:
+            padf = lambda a: jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1
+            )
+            pad1 = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+            origins_p, dirs_p = padf(origins), padf(dirs)
+            t_min_p, t_max_p = pad1(t_min), pad1(t_max) - 1.0
+        else:
+            origins_p, dirs_p, t_min_p, t_max_p = origins, dirs, t_min, t_max
+
+        cluster_tris, lo, hi = build_cluster_data(scene)
+        visits, counts = block_visit_lists(
+            origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
+        )
+        # Append an always-inactive pad cluster for the visit padding id.
+        pad_cluster = jnp.zeros((1,) + cluster_tris.shape[1:], cluster_tris.dtype)
+        cluster_tris = jnp.concatenate([cluster_tris, pad_cluster], axis=0)
+
+        rays8 = jnp.concatenate(
+            [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
+        )
+        t, tri = _trace_opaque_pallas_impl(
+            rays8, cluster_tris, visits, counts, cull_backface, interpret
+        )
+        t, tri = t[:n], tri[:n]
+        tri = jnp.where(t < _BIG * 0.5, tri, -1)
+        rays = xtr._Rays.of(origins, dirs, t_min, t_max)
+        uv = xtr._reintersect_uv(rays, scene, tri)
+        return t, tri, uv
+
+    return opaque_fn

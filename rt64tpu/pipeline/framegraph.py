@@ -59,6 +59,7 @@ class RenderConfig:
     upscaler: int = 0
     tri_chunk: int = 512
     alpha_cap: int = 256  # compacted alpha triangle list capacity
+    use_pallas_tracer: bool = False  # cluster-culled packet kernel (TPU)
     # Multi-chip row tiling (parallel/tiling.py): rt_height is this
     # shard's rows; full_height is the whole image (0 = unsharded).
     full_height: int = 0
@@ -228,6 +229,16 @@ def _fresnel(normal, incident, reflectivity, fresnel_multiplier):
     return reflectivity + (1.0 - reflectivity) * ret * fresnel_multiplier
 
 
+def _opaque_fn(cfg):
+    """Traversal backend per config: the Pallas packet kernel or None
+    (the XLA scan)."""
+    if cfg.use_pallas_tracer:
+        from rt64tpu.ops import tracer_pallas
+
+        return tracer_pallas.make_opaque_fn()
+    return None
+
+
 def _trace_and_shade(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
     noise_rand, cfg, cull_backface=True,
@@ -239,6 +250,7 @@ def _trace_and_shade(
     hits = tracer.trace(
         origins, dirs, t_min, t_max, trace_scene,
         k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
+        opaque_fn=_opaque_fn(cfg),
     )
     k1 = k_alpha + 1
     tri_all = jnp.concatenate([hits.tri_a.T, hits.tri_op[None]], 0)  # (K1, N)
@@ -396,6 +408,7 @@ def _resolve_primary(
         dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
+        opaque_fn=_opaque_fn(cfg),
     )
     res_transparent = res_transparent + trans_lit_sum * tl_light
 
@@ -481,6 +494,7 @@ def direct_pass(
         g.view_dir, g.position, g.normal, g.specular, ctx,
         max_light_count=cfg.max_lights, di_samples=cfg.di_samples,
         check_shadows=True, noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
+        opaque_fn=_opaque_fn(cfg),
     )
     res = res + ctx.self_light
 
@@ -593,6 +607,7 @@ def indirect_pass(
             ray_dir, res_pos, res_nrm, res_spec, ctx,
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
+            opaque_fn=_opaque_fn(cfg),
         )
         bounce = (
             res_rgb * (1.0 - res_a)[None]
@@ -739,6 +754,7 @@ def refraction_pass(
         ray_dir, pos, nrm, spec, ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
+        opaque_fn=_opaque_fn(cfg),
     )
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
     rgb = jnp.where((inst >= 0)[None], rgb * (ambient + direct + ctx.self_light), rgb)

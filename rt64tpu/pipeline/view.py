@@ -153,6 +153,7 @@ class ViewRenderer:
             denoiser_enabled=bool(vd.denoiser_enabled),
             upscaler=int(vd.upscaler),
             alpha_cap=self.packer.limits.alpha_triangles,
+            use_pallas_tracer=jax.default_backend() not in ("cpu",),
         )
 
     def _global_params(self, cfg) -> fg.GlobalParams:
