@@ -101,13 +101,14 @@ def test_dds_bc1_decode():
     # One BC1 block: c0=red(565), c1=blue, all indices 0 -> red texels.
     c0 = 0xF800
     c1 = 0x001F
-    header = struct.pack("<4sI", b"DDS ", 124)
-    header += struct.pack("<3I", 0x1007, 4, 4)  # flags, h, w
-    header += b"\x00" * (76 - 16 + 4)
-    header += struct.pack("<2I", 0x4, struct.unpack("<I", b"DXT1")[0])
-    header += b"\x00" * (128 - len(header) - 20)
-    header += b"\x00" * (128 - len(header))
+    buf = bytearray(128)
+    struct.pack_into("<4s", buf, 0, b"DDS ")
+    struct.pack_into("<I", buf, 4, 124)  # header size
+    struct.pack_into("<3I", buf, 8, 0x1007, 4, 4)  # flags, height, width
+    struct.pack_into("<I", buf, 76, 32)  # pixelformat size
+    struct.pack_into("<I", buf, 80, 0x4)  # DDPF_FOURCC
+    struct.pack_into("<4s", buf, 84, b"DXT1")
     payload = struct.pack("<2H4B", c0, c1, 0, 0, 0, 0)
-    out = decode_dds(header[:128] + payload)
+    out = decode_dds(bytes(buf) + payload)
     assert out.shape == (4, 4, 4)
     assert out[0, 0, 0] == 255 and out[0, 0, 2] == 0
