@@ -1,0 +1,86 @@
+"""Upscaler slot tests: policy tables, temporal accumulation, learned CNN."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rt64tpu import descriptors as d
+from rt64tpu.models import upscaler as ups
+
+
+def test_quality_auto_thresholds():
+    # getQualityAuto thresholds (rt64_upscaler.cpp:11-36).
+    assert ups.quality_auto(1280, 720) == d.UPSCALER_MODE_ULTRA_QUALITY
+    assert ups.quality_auto(1920, 1080) == d.UPSCALER_MODE_QUALITY
+    assert ups.quality_auto(2560, 1440) == d.UPSCALER_MODE_BALANCED
+    assert ups.quality_auto(3840, 2160) == d.UPSCALER_MODE_PERFORMANCE
+    assert ups.quality_auto(7680, 4320) == d.UPSCALER_MODE_ULTRA_PERFORMANCE
+
+
+def test_quality_resolution_fsr_ultra_quality():
+    # FSR forces UltraQuality to 77% (rt64_fsr.cpp:104-112).
+    w, h = ups.quality_resolution(d.UPSCALER_MODE_ULTRA_QUALITY, 1000, 500)
+    assert (w, h) == (770, 385)
+    w, h = ups.quality_resolution(d.UPSCALER_MODE_NATIVE, 1000, 500)
+    assert (w, h) == (1000, 500)
+
+
+def test_jitter_phase_count():
+    # ffxFsr2GetJitterPhaseCount = ceil(8 * ratio^2).
+    assert ups.jitter_phase_count(960, 1920) == 32
+    assert ups.jitter_phase_count(1920, 1920) == 8
+
+
+def test_temporal_accumulate_converges():
+    h, w, dh, dw = 8, 8, 16, 16
+    rng = np.random.default_rng(0)
+    rt = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    flow = jnp.zeros((2, h, w))
+    reactive = jnp.zeros((h, w))
+    lock = jnp.zeros((h, w))
+    hist = jnp.zeros((3, dh, dw))
+    out = ups.temporal_accumulate(hist, rt, flow, reactive, lock,
+                                  jnp.bool_(True), dh, dw)
+    # Reset frame: output == bilinear upscale.
+    from rt64tpu.ops import filters
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(filters.bilinear_resize(rt, dh, dw)),
+        atol=1e-6,
+    )
+    # Static scene: repeated accumulation stays stable (no drift).
+    prev = out
+    for _ in range(8):
+        prev = ups.temporal_accumulate(prev, rt, flow, reactive, lock,
+                                       jnp.bool_(False), dh, dw)
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(out), atol=1e-3)
+
+
+def test_learned_upscaler_residual_start():
+    """Untrained CNN starts at (near) identity over bilinear."""
+    from rt64tpu.models import learned_upscaler
+    from rt64tpu.ops import filters
+
+    class FakeG:
+        pass
+
+    class FakeOut:
+        pass
+
+    h, w = 8, 8
+    rng = np.random.default_rng(1)
+    out = FakeOut()
+    out.rt_output = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    g = FakeG()
+    g.depth = jnp.zeros((h * w,))
+    g.flow = jnp.zeros((2, h * w))
+    g.reactive = jnp.zeros((h * w,))
+    out.gbuffers = g
+
+    class Cfg:
+        rt_height = h
+        rt_width = w
+        display_height = 16
+        display_width = 16
+
+    res = learned_upscaler.upscale(out, Cfg)
+    want = filters.bilinear_resize(out.rt_output, 16, 16)
+    np.testing.assert_allclose(np.asarray(res), np.asarray(want), atol=1e-5)
