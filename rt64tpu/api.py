@@ -399,6 +399,7 @@ class Inspector:
         self.material_name = ""
         self.lights_ref = None
         self.dump_path: Optional[str] = None
+        self.show_light_gizmos = False  # Im3d light spheres analog
         self._dump_index = 0
         device.inspector = self
 
@@ -419,6 +420,10 @@ class Inspector:
         self.messages.append(message)
 
     def render(self):
+        if self.show_light_gizmos:
+            for scene in self.device.scenes:
+                for view in scene.views:
+                    self._draw_light_gizmos(scene, view)
         if self.dump_path:
             from rt64tpu.utils.assets import write_png
 
@@ -429,6 +434,40 @@ class Inspector:
                         view.framebuffer(),
                     )
             self._dump_index += 1
+
+    def _draw_light_gizmos(self, scene: "Scene", view: "View"):
+        """Im3d light-sphere gizmo analog (rt64_inspector.cpp:311-353):
+        overlays a ring at each light's projected position on the
+        retained framebuffer (debug path, host-side)."""
+        from rt64tpu.ops import math3d
+
+        fb = view._framebuffer
+        if fb is None:
+            return
+        h, w = fb.shape[:2]
+        proj = math3d.perspective_fov_rh(
+            view.fov_radians, w / h, view.near_dist, view.far_dist
+        )
+        vp = view.view_matrix @ proj
+        for light in scene.lights:
+            clip = math3d.transform_points_h(
+                np.asarray(light.position, np.float32), vp
+            )
+            if clip[3] <= 0:
+                continue
+            sx = int((0.5 + 0.5 * clip[0] / clip[3]) * w)
+            sy = int((0.5 - 0.5 * clip[1] / clip[3]) * h)
+            if not (0 <= sx < w and 0 <= sy < h):
+                continue
+            color = np.clip(
+                np.asarray(light.diffuse_color) * 255 + 64, 0, 255
+            ).astype(np.uint8)
+            rad = 5
+            yy, xx = np.mgrid[-rad : rad + 1, -rad : rad + 1]
+            ring = np.abs(np.hypot(xx, yy) - rad) < 1.0
+            ys = np.clip(sy + yy[ring], 0, h - 1)
+            xs = np.clip(sx + xx[ring], 0, w - 1)
+            fb[ys, xs, :3] = color
 
 
 # Packed light layout (columns), matching LightInfo (Lights.hlsli:9-19):

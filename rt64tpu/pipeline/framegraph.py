@@ -723,7 +723,26 @@ def refraction_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
     noise_rand, bg_planes, screen_u, screen_v,
 ):
-    """RefractionRayGen.hlsl:17-117. Returns (3, N)."""
+    """RefractionRayGen.hlsl:17-117. Returns (3, N). The whole pass is
+    skipped at runtime when nothing seeded refraction (the per-pixel
+    early-out of the reference, lifted to the dispatch level)."""
+    n = g.instance.shape[0]
+
+    def run(_):
+        return _refraction_impl(
+            sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table,
+            noise_rand, bg_planes, screen_u, screen_v,
+        )
+
+    return jax.lax.cond(
+        jnp.any(g.refr_alpha > EPSILON), run, lambda _: jnp.zeros((3, n)), None
+    )
+
+
+def _refraction_impl(
+    sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
+    noise_rand, bg_planes, screen_u, screen_v,
+):
     n = g.instance.shape[0]
     active = (g.instance >= 0) & (g.refr_alpha > EPSILON)
     eta = g.row[R.T_MAT + R.M_REFRACTION]
@@ -781,6 +800,22 @@ def reflection_pass(
     (ReflectionRayGen.hlsl:117-124), looped max_reflections times
     (rt64_view.cpp:1417-1436).
     """
+    refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row = refl_state
+    any_active = jnp.any((inst_id >= 0) & (refl_a > EPSILON))
+
+    def run(state):
+        return _reflection_impl(
+            sb, tri_rows, trace_scene, cfg, gp, g, state, pix, bn_table,
+            noise_rand, bg_planes,
+        )
+
+    return jax.lax.cond(any_active, run, lambda st: st, refl_state)
+
+
+def _reflection_impl(
+    sb, tri_rows, trace_scene, cfg, gp, g, refl_state, pix, bn_table,
+    noise_rand, bg_planes,
+):
     refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row = refl_state
     n = inst_id.shape[0]
     active = (inst_id >= 0) & (refl_a > EPSILON)

@@ -107,3 +107,22 @@ def test_checkpoint_resume(tmp_path, sample):
     )
     assert view.frame_count == fc_before
     dev.draw()  # resumes cleanly
+
+
+def test_inspector_console_dump_and_gizmos(tmp_path):
+    import rt64tpu
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    dev, scene, view = build_sample_scene(width=64, height=48)
+    insp = rt64tpu.Inspector(dev)
+    insp.print_message("hello")
+    insp.print_message("world")
+    assert insp.messages == ["hello", "world"]
+    insp.print_clear()
+    assert insp.messages == []
+    insp.dump_path = str(tmp_path)
+    insp.show_light_gizmos = True
+    dev.draw()
+    import os
+
+    assert os.path.exists(str(tmp_path) + "/frame_00000.png")
