@@ -97,22 +97,28 @@ def motion_blur(output, flow_img, resolution_xy, strength, samples: int):
     """
     if samples <= 0:
         return output
-    _, h, w = output.shape
-    su, sv = _uv_grid(h, w)
-    flow_u = flow_img[0].reshape(-1) / resolution_xy[0]
-    flow_v = flow_img[1].reshape(-1) / resolution_xy[1]
-    flow_len = jnp.sqrt(flow_u * flow_u + flow_v * flow_v)
-    step = strength / samples
-    start_u = su - flow_u * (strength * 0.5)
-    start_v = sv - flow_v * (strength * 0.5)
 
-    def body(s, acc):
-        sf = s.astype(jnp.float32) * step
-        uu = jnp.clip(start_u + flow_u * sf, 0.0, 1.0)
-        vv = jnp.clip(start_v + flow_v * sf, 0.0, 1.0)
-        return acc + bilinear_planar(output, uu, vv)
+    def run(output):
+        _, h, w = output.shape
+        su, sv = _uv_grid(h, w)
+        flow_u = flow_img[0].reshape(-1) / resolution_xy[0]
+        flow_v = flow_img[1].reshape(-1) / resolution_xy[1]
+        flow_len = jnp.sqrt(flow_u * flow_u + flow_v * flow_v)
+        step = strength / samples
+        start_u = su - flow_u * (strength * 0.5)
+        start_v = sv - flow_v * (strength * 0.5)
 
-    acc = jax.lax.fori_loop(0, samples, body, jnp.zeros((3, h * w)))
-    blurred = (acc / samples).reshape(3, h, w)
-    active = ((flow_len > 1e-6).reshape(1, h, w)) & (strength > 0.0)
-    return jnp.where(active, blurred, output)
+        def body(s, acc):
+            sf = s.astype(jnp.float32) * step
+            uu = jnp.clip(start_u + flow_u * sf, 0.0, 1.0)
+            vv = jnp.clip(start_v + flow_v * sf, 0.0, 1.0)
+            return acc + bilinear_planar(output, uu, vv)
+
+        acc = jax.lax.fori_loop(0, samples, body, jnp.zeros((3, h * w)))
+        blurred = (acc / samples).reshape(3, h, w)
+        active = (flow_len > 1e-6).reshape(1, h, w)
+        return jnp.where(active, blurred, output)
+
+    # The whole 32-sample loop skips at runtime when motion blur is off
+    # (PostProcessPS's strength/samples guard, PostProcessPS.hlsl:14).
+    return jax.lax.cond(strength > 0.0, run, lambda o: o, output)

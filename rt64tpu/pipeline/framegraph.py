@@ -247,6 +247,7 @@ def _trace_and_shade(
 
     Returns (shade flattened over slots, t_all (K1, N), k1).
     """
+    n = dirs.shape[1]
     hits = tracer.trace(
         origins, dirs, t_min, t_max, trace_scene,
         k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
@@ -257,13 +258,46 @@ def _trace_and_shade(
     u_all = jnp.concatenate([hits.uv_a[..., 0].T, hits.uv_op[None, :, 0]], 0)
     v_all = jnp.concatenate([hits.uv_a[..., 1].T, hits.uv_op[None, :, 1]], 0)
     t_all = jnp.concatenate([hits.t_a.T, hits.t_op[None]], 0)
-    shade = shade_ops.shade_hits(
-        sb, tri_rows,
-        jnp.tile(dirs, (1, k1)),
-        tri_all.reshape(-1), u_all.reshape(-1), v_all.reshape(-1),
-        jnp.tile(noise_rand, k1),
-    )
-    shade = shade._replace(tri=tri_all.reshape(-1))
+
+    def shade_all(_):
+        sh = shade_ops.shade_hits(
+            sb, tri_rows,
+            jnp.tile(dirs, (1, k1)),
+            tri_all.reshape(-1), u_all.reshape(-1), v_all.reshape(-1),
+            jnp.tile(noise_rand, k1),
+        )
+        return sh._replace(tri=tri_all.reshape(-1))
+
+    def shade_opaque_only(_):
+        # No alpha hits anywhere: shade just the opaque slot and pad the
+        # K alpha slots with empty results — 1/K1 of the shading work.
+        sh = shade_ops.shade_hits(
+            sb, tri_rows, dirs, hits.tri_op, hits.uv_op[:, 0],
+            hits.uv_op[:, 1], noise_rand,
+        )
+        pad_c = lambda a: jnp.concatenate(
+            [jnp.zeros(a.shape[:-1] + (k_alpha * n,), a.dtype), a], axis=-1
+        )
+        return shade_ops.HitShade(
+            color=pad_c(sh.color),
+            normal=pad_c(sh.normal),
+            specular=pad_c(sh.specular),
+            flow=pad_c(sh.flow),
+            instance=jnp.concatenate(
+                [jnp.full((k_alpha * n,), -1, jnp.int32), sh.instance]
+            ),
+            rows_t=pad_c(sh.rows_t),
+            tri=jnp.concatenate(
+                [jnp.full((k_alpha * n,), -1, jnp.int32), hits.tri_op]
+            ),
+        )
+
+    if k_alpha > 0:
+        shade = jax.lax.cond(
+            jnp.any(hits.tri_a >= 0), shade_all, shade_opaque_only, None
+        )
+    else:
+        shade = shade_all(None)
     return shade, t_all, k1
 
 
@@ -1041,9 +1075,12 @@ def render_frame(
         disp = rt_rgb
 
     if visualization_mode == 0:
-        flow_disp = filters.bilinear_resize(
-            g.flow.reshape(2, h, w), cfg.display_height, cfg.display_width
-        )
+        if (cfg.display_height, cfg.display_width) != (h, w):
+            flow_disp = filters.bilinear_resize(
+                g.flow.reshape(2, h, w), cfg.display_height, cfg.display_width
+            )
+        else:
+            flow_disp = g.flow.reshape(2, h, w)
         disp = filters.motion_blur(
             disp, flow_disp, (float(w), float(h)),
             gp.motion_blur_strength, cfg.motion_blur_samples,
