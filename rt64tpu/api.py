@@ -373,6 +373,41 @@ class View:
             return active[idx]
         return None
 
+    def move_perspective(self, local_movement):
+        """Inspector free-camera translate (rt64_view.cpp:1769-1773):
+        offset in view-local axes applied to the view matrix."""
+        from rt64tpu.ops import math3d
+
+        vi = np.linalg.inv(self.view_matrix)
+        offset = math3d.transform_dirs(
+            np.asarray(local_movement, np.float32), vi
+        )
+        self.view_matrix = (
+            np.linalg.inv(math3d.translation(*offset)) @ self.view_matrix
+        ).astype(np.float32)
+
+    def rotate_perspective(self, local_yaw: float, local_pitch: float,
+                           local_roll: float = 0.0):
+        """Inspector free-camera rotate (rt64_view.cpp:1775-1782):
+        look-at rebuilt from a rotated far-plane focus point."""
+        from rt64tpu.ops import math3d
+        import math as _m
+
+        vi = np.linalg.inv(self.view_matrix)
+        pos = math3d.transform_points(np.zeros(3, np.float32), vi)
+        focus = np.array([0.0, 0.0, -self.far_dist], np.float32)
+        cy, sy = _m.cos(local_yaw), _m.sin(local_yaw)
+        cp, sp = _m.cos(local_pitch), _m.sin(local_pitch)
+        # yaw about y then pitch about x (XMMatrixRotationRollPitchYaw order)
+        fx = focus[0] * cy + focus[2] * sy
+        fz = -focus[0] * sy + focus[2] * cy
+        fy = focus[1] * cp - fz * sp
+        fz = focus[1] * sp + fz * cp
+        focus_w = math3d.transform_points(
+            np.array([fx, fy, fz], np.float32), vi
+        )
+        self.view_matrix = math3d.look_at_rh(pos, focus_w, (0.0, 1.0, 0.0))
+
     def get_upscaler_support(self, upscaler: int) -> bool:
         """GetViewUpscalerSupport: all modes are implemented in-framework."""
         return upscaler in (

@@ -126,3 +126,19 @@ def test_inspector_console_dump_and_gizmos(tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path) + "/frame_00000.png")
+
+
+def test_camera_control_perspective():
+    from rt64tpu.utils.testscenes import build_sample_scene
+    from rt64tpu.ops import math3d
+
+    dev, scene, view = build_sample_scene(width=64, height=48)
+    before = view.view_matrix.copy()
+    pos0 = np.linalg.inv(view.view_matrix)[3, :3].copy()
+    view.move_perspective((0.0, 0.0, 2.0))
+    pos1 = np.linalg.inv(view.view_matrix)[3, :3]
+    assert not np.allclose(before, view.view_matrix)
+    assert abs(np.linalg.norm(pos1 - pos0) - 2.0) < 1e-4
+    view.rotate_perspective(0.3, 0.1)
+    pos2 = np.linalg.inv(view.view_matrix)[3, :3]
+    np.testing.assert_allclose(pos2, pos1, atol=1e-3)  # rotation keeps pos
