@@ -432,17 +432,25 @@ def _resolve_primary(
 
     # Shared transparent light (1 light, checkShadows=true,
     # PrimaryRayGen.hlsl:139-147). One row gather per selected id
-    # replaces carrying full rows through the slot loop.
-    tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
+    # replaces carrying full rows through the slot loop; the whole
+    # evaluation skips at runtime when no pixel has a transparent-lit
+    # hit (the resTransparentLightComputed lazy flag, dispatch-level).
     st_row = tri_rows[jnp.maximum(st_tri, 0)].T
     st_row = st_row * stored[None].astype(st_row.dtype)
-    tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
-    tl_light = lighting.compute_lights_random(
-        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
-        dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
-        max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
-        noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-        opaque_fn=_opaque_fn(cfg),
+
+    def tl_eval(_):
+        tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
+        tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
+        return lighting.compute_lights_random(
+            sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+            dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
+            max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
+            noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
+            opaque_fn=_opaque_fn(cfg),
+        )
+
+    tl_light = jax.lax.cond(
+        jnp.any(tl_stored), tl_eval, lambda _: jnp.zeros((3, n)), None
     )
     res_transparent = res_transparent + trans_lit_sum * tl_light
 
@@ -988,6 +996,11 @@ def render_frame(
 
     pix, origins, dirs = primary_rays(cfg, gp, row_offset)
     noise_rand = _noise_rand(cfg, gp, pix)
+
+    # Under row tiling the background plane arrives full-height
+    # (replicated); take this shard's band.
+    if bg_planes.shape[1] != h:
+        bg_planes = jax.lax.dynamic_slice_in_dim(bg_planes, row_offset, h, axis=1)
 
     # Raster background pass (rt64_view.cpp:1292-1319): composited over
     # the host-provided plane; rays sample the result.
