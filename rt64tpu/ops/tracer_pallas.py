@@ -284,3 +284,156 @@ def make_opaque_fn(interpret: bool = False):
         return t, tri, uv
 
     return opaque_fn
+
+
+def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
+                   scratch, sems, *, nc: int):
+    """Any-hit occlusion kernel: early-exits the cluster walk once every
+    ray in the block is blocked (the ACCEPT_FIRST_HIT_AND_END_SEARCH
+    analog, Lights.hlsli:43). Backface culling off
+    (SKIP_BACKFACE_SHADOWS undefined)."""
+    b = pl.program_id(0)
+    count = counts_ref[b]
+
+    ox = rays_ref[0].reshape(BLOCK_RAYS, 1)
+    oy = rays_ref[1].reshape(BLOCK_RAYS, 1)
+    oz = rays_ref[2].reshape(BLOCK_RAYS, 1)
+    dx = rays_ref[3].reshape(BLOCK_RAYS, 1)
+    dy = rays_ref[4].reshape(BLOCK_RAYS, 1)
+    dz = rays_ref[5].reshape(BLOCK_RAYS, 1)
+    tmin = rays_ref[6].reshape(BLOCK_RAYS, 1)
+    tmax = rays_ref[7].reshape(BLOCK_RAYS, 1)
+
+    def cluster_dma(slot, i):
+        cid = visits_ref[b, i]
+        return pltpu.make_async_copy(
+            cluster_hbm.at[cid], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(count > 0)
+    def _():
+        cluster_dma(0, 0).start()
+
+    def cond(carry):
+        i, blocked_n, _ = carry
+        return (i < count) & (blocked_n < BLOCK_RAYS)
+
+    def body(carry):
+        i, blocked_n, blocked = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < count)
+        def _():
+            cluster_dma(1 - slot, i + 1).start()
+
+        cluster_dma(slot, i).wait()
+        tri = scratch[slot]
+        v0x = tri[C_V0X][None, :]
+        v0y = tri[C_V0Y][None, :]
+        v0z = tri[C_V0Z][None, :]
+        e1x = tri[C_E1X][None, :]
+        e1y = tri[C_E1Y][None, :]
+        e1z = tri[C_E1Z][None, :]
+        e2x = tri[C_E2X][None, :]
+        e2y = tri[C_E2Y][None, :]
+        e2z = tri[C_E2Z][None, :]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        keep = jnp.abs(det) > 1e-9
+        inv_det = 1.0 / jnp.where(keep, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (
+            keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= tmin) & (t <= tmax) & (tri[C_ACTIVE][None, :] > 0.0)
+        )
+        blocked = blocked | hit.any(axis=1)
+        blocked_n = blocked.astype(jnp.int32).sum()
+        return (i + 1, blocked_n, blocked)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.zeros((BLOCK_RAYS,), bool))
+    _, _, blocked = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = blocked.reshape(1, BLOCK_RAYS // 128, 128).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _shadow_pallas_impl(rays8, cluster_tris, visits, counts, interpret: bool):
+    n = rays8.shape[1]
+    n_blocks = n // BLOCK_RAYS
+    nc = cluster_tris.shape[0]
+    kern = functools.partial(_shadow_kernel, nc=nc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK_RAYS), lambda b, c, v: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
+                               lambda b, c, v: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    blocked = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128),
+                                       jnp.int32),
+        interpret=interpret,
+    )(counts, visits, rays8, cluster_tris)
+    return blocked.reshape(n)
+
+
+def make_shadow_opaque_fn(interpret: bool = False):
+    """opaque_fn for shadow traces: occlusion-only with early exit.
+
+    Returns results in trace_opaque's shape contract: tri = 0 when
+    blocked (-1 otherwise), t = 0/BIG — exactly what the shadow-factor
+    consumer reads (tri_op >= 0 means fully occluded)."""
+
+    def opaque_fn(origins, dirs, t_min, t_max, scene, cull_backface=False,
+                  chunk=0):
+        del chunk, cull_backface  # shadows never cull
+        n = origins.shape[1]
+        pad = (-n) % BLOCK_RAYS
+        if pad:
+            padf = lambda a: jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1
+            )
+            pad1 = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+            origins_p, dirs_p = padf(origins), padf(dirs)
+            t_min_p, t_max_p = pad1(t_min), pad1(t_max) - 1.0
+        else:
+            origins_p, dirs_p, t_min_p, t_max_p = origins, dirs, t_min, t_max
+
+        cluster_tris, lo, hi = build_cluster_data(scene)
+        visits, counts = block_visit_lists(
+            origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
+        )
+        pad_cluster = jnp.zeros((1,) + cluster_tris.shape[1:], cluster_tris.dtype)
+        cluster_tris = jnp.concatenate([cluster_tris, pad_cluster], axis=0)
+        rays8 = jnp.concatenate(
+            [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
+        )
+        blocked = _shadow_pallas_impl(
+            rays8, cluster_tris, visits, counts, interpret
+        )[:n] > 0
+        t = jnp.where(blocked, 0.0, _BIG)
+        tri = jnp.where(blocked, 0, -1)
+        uv = jnp.zeros((n, 2), jnp.float32)
+        return t, tri, uv
+
+    return opaque_fn

@@ -239,6 +239,16 @@ def _opaque_fn(cfg):
     return None
 
 
+def _shadow_fn(cfg):
+    """Occlusion backend for shadow rays: the early-exit any-hit kernel
+    (ACCEPT_FIRST_HIT_AND_END_SEARCH analog) or None (XLA scan)."""
+    if cfg.use_pallas_tracer:
+        from rt64tpu.ops import tracer_pallas
+
+        return tracer_pallas.make_shadow_opaque_fn()
+    return None
+
+
 def _trace_and_shade(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
     noise_rand, cfg, cull_backface=True,
@@ -446,7 +456,7 @@ def _resolve_primary(
             dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-            opaque_fn=_opaque_fn(cfg),
+            opaque_fn=_shadow_fn(cfg),
         )
 
     tl_light = jax.lax.cond(
@@ -536,7 +546,7 @@ def direct_pass(
         g.view_dir, g.position, g.normal, g.specular, ctx,
         max_light_count=cfg.max_lights, di_samples=cfg.di_samples,
         check_shadows=True, noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-        opaque_fn=_opaque_fn(cfg),
+        opaque_fn=_shadow_fn(cfg),
     )
     res = res + ctx.self_light
 
@@ -649,7 +659,7 @@ def indirect_pass(
             ray_dir, res_pos, res_nrm, res_spec, ctx,
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-            opaque_fn=_opaque_fn(cfg),
+            opaque_fn=_shadow_fn(cfg),
         )
         bounce = (
             res_rgb * (1.0 - res_a)[None]
@@ -815,7 +825,7 @@ def _refraction_impl(
         ray_dir, pos, nrm, spec, ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-        opaque_fn=_opaque_fn(cfg),
+        opaque_fn=_shadow_fn(cfg),
     )
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
     rgb = jnp.where((inst >= 0)[None], rgb * (ambient + direct + ctx.self_light), rgb)
