@@ -316,7 +316,7 @@ def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
 
     def cond(carry):
         i, blocked_n, _ = carry
-        return (i < count) & (blocked_n < BLOCK_RAYS)
+        return (i < count) & (blocked_n < float(BLOCK_RAYS))
 
     def body(carry):
         i, blocked_n, blocked = carry
@@ -356,13 +356,19 @@ def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
             keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t >= tmin) & (t <= tmax) & (tri[C_ACTIVE][None, :] > 0.0)
         )
-        blocked = blocked | hit.any(axis=1)
-        blocked_n = blocked.astype(jnp.int32).sum()
+        # Carry as 2D float: i1/1D vector carries fail Mosaic layout.
+        blocked = jnp.maximum(
+            blocked, jnp.where(hit, 1.0, 0.0).max(axis=1, keepdims=True)
+        )
+        blocked_n = blocked.sum()
         return (i + 1, blocked_n, blocked)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.zeros((BLOCK_RAYS,), bool))
+    init = (jnp.int32(0), jnp.float32(0),
+            jnp.zeros((BLOCK_RAYS, 1), jnp.float32))
     _, _, blocked = jax.lax.while_loop(cond, body, init)
-    out_ref[:] = blocked.reshape(1, BLOCK_RAYS // 128, 128).astype(jnp.int32)
+    out_ref[:] = (
+        blocked.reshape(1, BLOCK_RAYS // 128, 128) > 0.5
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

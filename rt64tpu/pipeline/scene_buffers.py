@@ -132,6 +132,7 @@ class ScenePacker:
         self._next_off = offset
         self._np["quad_pool"] = pool
         self._np["quad_records"] = records
+        self._dev_quads = None  # re-upload lazily (env textures may append)
         self._quad_key = key
 
     def add_env_texture(self, tex: Optional[Texture]) -> int:
@@ -153,6 +154,7 @@ class ScenePacker:
         self._combo_ids[key] = self._next_rec
         self._next_off += n
         self._next_rec += 1
+        self._dev_quads = None
         return self._combo_ids[key]
 
     # -- geometry epoch -------------------------------------------------------
@@ -200,6 +202,13 @@ class ScenePacker:
         self._np.update(
             vertex_rows=vrows, tri_idx=tri_idx, tri_instance=tri_instance,
             tri_valid=tri_valid,
+        )
+        # Device-resident copies (re-uploaded only on epoch change).
+        self._dev_geom = dict(
+            vertex_rows=jnp.asarray(vrows),
+            tri_idx=jnp.asarray(tri_idx),
+            tri_instance=jnp.asarray(tri_instance),
+            tri_valid=jnp.asarray(tri_valid),
         )
         self._geometry_key = key
         self.triangle_count = toff
@@ -313,16 +322,17 @@ class ScenePacker:
         rb_rows, rb_count = self._pack_raster(instances, raster_bg or [])
         rf_rows, rf_count = self._pack_raster(instances, raster_fg or [])
 
+        if getattr(self, "_dev_quads", None) is None:
+            self._dev_quads = dict(
+                quad_pool=jnp.asarray(self._np["quad_pool"]),
+                quad_records=jnp.asarray(self._np["quad_records"]),
+            )
         return SceneBuffers(
-            vertex_rows=jnp.asarray(self._np["vertex_rows"]),
-            tri_idx=jnp.asarray(self._np["tri_idx"]),
-            tri_instance=jnp.asarray(self._np["tri_instance"]),
-            tri_valid=jnp.asarray(self._np["tri_valid"]),
+            **self._dev_geom,
             instance_rows=jnp.asarray(irows),
             lights=jnp.asarray(lights),
             light_count=jnp.int32(count),
-            quad_pool=jnp.asarray(self._np["quad_pool"]),
-            quad_records=jnp.asarray(self._np["quad_records"]),
+            **self._dev_quads,
             raster_bg=jnp.asarray(rb_rows),
             raster_bg_count=jnp.int32(rb_count),
             raster_fg=jnp.asarray(rf_rows),
