@@ -318,6 +318,7 @@ class View:
         self.sky_plane_texture: Optional[Texture] = None
         self.frame_count = 0
         self.max_reflections = 2  # rt64_view.cpp:60
+        self.pipelined_present = False  # True: present frame N-1 (latency hiding)
         self.visualization_mode = d.VISUALIZATION_MODE_FINAL
         self._renderer = None
         self._framebuffer: Optional[np.ndarray] = None
@@ -346,7 +347,7 @@ class View:
         from rt64tpu.pipeline.view import ViewRenderer
 
         if self._renderer is None:
-            self._renderer = ViewRenderer(self)
+            self._renderer = ViewRenderer(self, pipelined=self.pipelined_present)
         self._renderer.update()
 
     def render(self, delta_time_ms: float):

@@ -24,8 +24,15 @@ from rt64tpu.pipeline.scene_buffers import ScenePacker
 
 
 class ViewRenderer:
-    def __init__(self, view):
+    """pipelined=False matches the reference's full-sync-per-frame model
+    (rt64_device.cpp:1006-1025); pipelined=True presents frame N-1 while
+    N renders, hiding device/tunnel latency (an improvement the
+    reference's architecture could not express)."""
+
+    def __init__(self, view, pipelined: bool = False):
         self.view = view
+        self.pipelined = pipelined
+        self._pending = None
         device = view.scene.device
         self.packer = ScenePacker(device.limits)
         self.bn_table = jnp.asarray(bluenoise.get_table())
@@ -106,6 +113,12 @@ class ViewRenderer:
         elif cfg.upscaler in (d.UPSCALER_DLSS, d.UPSCALER_XESS):
             img = ups.learned_upscale(out, cfg)
 
+        if self.pipelined:
+            # Present the PREVIOUS frame; leave this one in flight.
+            pending, self._pending = self._pending, (img, out, cfg)
+            if pending is None:
+                return
+            img, out, cfg = pending
         arr = np.asarray(img)  # (3, DH, DW)
         frame = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
         frame = np.moveaxis(frame, 0, -1)  # (DH, DW, 3)

@@ -55,9 +55,17 @@ def test_temporal_accumulate_converges():
 
 
 def test_learned_upscaler_residual_start():
-    """Untrained CNN starts at (near) identity over bilinear."""
+    """A freshly initialized CNN starts at (near) identity over
+    bilinear (zero-init final conv); shipped trained params may
+    deviate, so pin the init explicitly."""
+    import jax
+    import jax.numpy as jnp2
     from rt64tpu.models import learned_upscaler
     from rt64tpu.ops import filters
+
+    learned_upscaler._params = learned_upscaler._model.init(
+        jax.random.PRNGKey(0), jnp2.zeros((8, 8, 7))
+    )
 
     class FakeG:
         pass
@@ -81,6 +89,9 @@ def test_learned_upscaler_residual_start():
         display_height = 16
         display_width = 16
 
-    res = learned_upscaler.upscale(out, Cfg)
-    want = filters.bilinear_resize(out.rt_output, 16, 16)
-    np.testing.assert_allclose(np.asarray(res), np.asarray(want), atol=1e-5)
+    try:
+        res = learned_upscaler.upscale(out, Cfg)
+        want = filters.bilinear_resize(out.rt_output, 16, 16)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(want), atol=1e-5)
+    finally:
+        learned_upscaler._params = None  # restore shipped params
