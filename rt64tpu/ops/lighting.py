@@ -146,6 +146,7 @@ def compute_light(
     noise_rand,
     shadow_k_alpha: int,
     opaque_fn=None,
+    live=None,  # (N,) bool: rays worth tracing (inactive skip blocks)
 ):
     """ComputeLight (Lights.hlsli:70-113) for one selected light/pixel."""
     sel = lambda col: _select_light(sb.lights[:, col], chosen)
@@ -188,10 +189,15 @@ def compute_light(
         ndotl = jnp.maximum(vm.dot(normal, sample_dir), 0.0)
         s_lambert = (ndotl + (1.0 - ndotl) * ctx.ignore_normal) * intensity
         if check_shadows:
+            s_tmax = sample_dist - loffset
+            if live is not None:
+                # Dead rays get an empty interval so whole ray blocks
+                # can skip traversal in the packet tracer.
+                s_tmax = jnp.where(live, s_tmax, -1.0)
             s_shadow = trace_shadow_factor(
                 sb, tri_rows, trace_scene, position, sample_dir,
                 tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias,
-                sample_dist - loffset, noise_rand, shadow_k_alpha,
+                s_tmax, noise_rand, shadow_k_alpha,
                 opaque_fn=opaque_fn,
             )
         else:
@@ -255,7 +261,7 @@ def compute_lights_random(
             sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
             chosen, ray_dir, position, normal, specular, ctx,
             di_samples, check_shadows, noise_rand, shadow_k_alpha,
-            opaque_fn=opaque_fn,
+            opaque_fn=opaque_fn, live=active,
         )
         result = result + jnp.where(active[None], contrib * inv_prob[None], 0.0)
         random_range = random_range - jnp.where(active, c_int, 0.0)

@@ -628,7 +628,8 @@ def indirect_pass(
 
     blue_noise_mult = 64 // cfg.gi_samples
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
-    t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
+    # Sky pixels trace nothing: empty interval lets ray blocks skip.
+    t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
 
     def gi_body(carry, s):
         new_indirect, hist_len = carry
@@ -810,7 +811,7 @@ def _refraction_impl(
     bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
-    t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
+    t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
     shade, t_all, k1 = _trace_and_shade(
         sb, tri_rows, trace_scene, g.position, ray_dir, t_min, t_max,
         cfg.k_secondary, noise_rand, cfg,
@@ -882,7 +883,7 @@ def _reflection_impl(
     bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
-    t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
+    t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
     shade, t_all, k1 = _trace_and_shade(
         sb, tri_rows, trace_scene, sh_pos, ray_dir, t_min, t_max,
         cfg.k_secondary, noise_rand, cfg,
