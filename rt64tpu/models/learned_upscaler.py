@@ -74,12 +74,13 @@ def _run(params, rt_color, depth, flow, reactive, dh: int, dw: int):
 
 
 def upscale(frame_out, cfg):
-    h, w = cfg.rt_height, cfg.rt_width
+    from rt64tpu.pipeline.framegraph import to_image
+
     return _run(
         get_params(),
         frame_out.rt_output,
-        frame_out.gbuffers.depth.reshape(h, w),
-        frame_out.gbuffers.flow.reshape(2, h, w),
-        frame_out.gbuffers.reactive.reshape(h, w),
+        to_image(cfg, frame_out.gbuffers.depth),
+        to_image(cfg, frame_out.gbuffers.flow),
+        to_image(cfg, frame_out.gbuffers.reactive),
         cfg.display_height, cfg.display_width,
     )

@@ -116,7 +116,8 @@ def temporal_accumulate(
 def temporal_upscale_step(temporal_history, frame_out, cfg):
     """Drive temporal_accumulate from FrameOutputs; returns
     (display image, new history)."""
-    h, w = cfg.rt_height, cfg.rt_width
+    from rt64tpu.pipeline.framegraph import to_image
+
     dh, dw = cfg.display_height, cfg.display_width
     reset = temporal_history is None
     hist = (
@@ -127,9 +128,9 @@ def temporal_upscale_step(temporal_history, frame_out, cfg):
     out = temporal_accumulate(
         hist,
         frame_out.rt_output,
-        frame_out.gbuffers.flow.reshape(2, h, w),
-        frame_out.gbuffers.reactive.reshape(h, w),
-        frame_out.gbuffers.lock.reshape(h, w),
+        to_image(cfg, frame_out.gbuffers.flow),
+        to_image(cfg, frame_out.gbuffers.reactive),
+        to_image(cfg, frame_out.gbuffers.lock),
         jnp.bool_(reset),
         dh, dw,
     )

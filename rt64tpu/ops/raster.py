@@ -43,6 +43,7 @@ def rasterize(
     quad_pool, quad_records,
     width: int, height: int,
     noise_rand,  # (N,)
+    pix=None,  # (N, 2) int pixel coords matching image's flat order
     row_offset=0,
 ):
     """Blend raster triangles over image; returns the new (4, N)."""
@@ -53,7 +54,7 @@ def rasterize(
     def run(image):
         return _rasterize_all(
             image, raster_rows, raster_count, instance_rows, quad_pool,
-            quad_records, width, height, noise_rand, row_offset,
+            quad_records, width, height, noise_rand, pix, row_offset,
         )
 
     return jax.lax.cond(raster_count > 0, run, lambda img: img, image)
@@ -61,14 +62,18 @@ def rasterize(
 
 def _rasterize_all(
     image, raster_rows, raster_count, instance_rows, quad_pool,
-    quad_records, width, height, noise_rand, row_offset,
+    quad_records, width, height, noise_rand, pix, row_offset,
 ):
     rb = raster_rows.shape[0]
     n = image.shape[1]
-    xx = jnp.arange(width, dtype=jnp.float32)
-    yy = jnp.arange(height, dtype=jnp.float32) + row_offset
-    px = jnp.broadcast_to(xx[None, :], (height, width)).reshape(-1) + 0.5
-    py = jnp.broadcast_to(yy[:, None], (height, width)).reshape(-1) + 0.5
+    if pix is not None:
+        px = pix[:, 0].astype(jnp.float32) + 0.5
+        py = pix[:, 1].astype(jnp.float32) + 0.5
+    else:
+        xx = jnp.arange(width, dtype=jnp.float32)
+        yy = jnp.arange(height, dtype=jnp.float32) + row_offset
+        px = jnp.broadcast_to(xx[None, :], (height, width)).reshape(-1) + 0.5
+        py = jnp.broadcast_to(yy[:, None], (height, width)).reshape(-1) + 0.5
 
     def draw_one(img, ti):
         row = raster_rows[ti]

@@ -68,6 +68,21 @@ class RenderConfig:
     def grid_height(self) -> int:
         return self.full_height or self.rt_height
 
+    # Tile-swizzled ray order: each 8x64 pixel tile is contiguous in the
+    # flat pixel axis, so the packet tracer's 512-ray blocks are compact
+    # screen tiles instead of quarter-rows — far tighter cluster culling
+    # (decisive at high resolutions). Enabled whenever dimensions allow;
+    # per-pixel math is order-independent so results are identical.
+    TILE_H = 8
+    TILE_W = 64
+
+    @property
+    def tiled(self) -> bool:
+        return (
+            self.rt_width % self.TILE_W == 0
+            and self.rt_height % self.TILE_H == 0
+        )
+
 
 class GlobalParams(NamedTuple):
     """Traced per-frame parameters (GlobalParams.hlsli:8-43)."""
@@ -174,9 +189,71 @@ def _pixel_grid(cfg: RenderConfig, row_offset=0):
     h, w = cfg.rt_height, cfg.rt_width
     xx = jnp.arange(w, dtype=jnp.int32)
     yy = jnp.arange(h, dtype=jnp.int32) + row_offset
-    px = jnp.broadcast_to(xx[None, :], (h, w)).reshape(-1)
-    py = jnp.broadcast_to(yy[:, None], (h, w)).reshape(-1)
+    px = jnp.broadcast_to(xx[None, :], (h, w))
+    py = jnp.broadcast_to(yy[:, None], (h, w))
+    if cfg.tiled:
+        px = _from_image_1(cfg, px)
+        py = _from_image_1(cfg, py)
+    else:
+        px = px.reshape(-1)
+        py = py.reshape(-1)
     return jnp.stack([px, py], axis=-1)  # (N, 2) int
+
+
+def _from_image_1(cfg, img_hw):
+    """(H, W) -> flat swizzled (N,): pure reshape/transpose."""
+    th, tw = cfg.TILE_H, cfg.TILE_W
+    h, w = img_hw.shape
+    return (
+        img_hw.reshape(h // th, th, w // tw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+
+
+def from_image(cfg, img):
+    """(C, H, W) -> (C, N) in the frame's pixel order."""
+    c, h, w = img.shape
+    if not cfg.tiled:
+        return img.reshape(c, -1)
+    th, tw = cfg.TILE_H, cfg.TILE_W
+    return (
+        img.reshape(c, h // th, th, w // tw, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(c, -1)
+    )
+
+
+def to_image(cfg, plane):
+    """(C, N) -> (C, H, W) undoing the frame's pixel order."""
+    h, w = cfg.rt_height, cfg.rt_width
+    squeeze = plane.ndim == 1
+    if squeeze:
+        plane = plane[None]
+    c = plane.shape[0]
+    if not cfg.tiled:
+        out = plane.reshape(c, h, w)
+    else:
+        th, tw = cfg.TILE_H, cfg.TILE_W
+        out = (
+            plane.reshape(c, h // th, w // tw, th, tw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(c, h, w)
+        )
+    return out[0] if squeeze else out
+
+
+def flat_index(cfg, x, y):
+    """Flat pixel index of integer coords (x, y) in the frame's order
+    (the y*W+x analog; used by reprojection gathers). Coordinates are
+    GLOBAL (full grid) under row tiling."""
+    w = cfg.rt_width
+    if not cfg.tiled:
+        return y * w + x
+    th, tw = cfg.TILE_H, cfg.TILE_W
+    block = (y // th) * (w // tw) + x // tw
+    within = (y % th) * tw + (x % tw)
+    return block * (th * tw) + within
 
 
 def primary_rays(cfg: RenderConfig, gp: GlobalParams, row_offset=0):
@@ -515,7 +592,7 @@ def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg,
     px = jnp.floor(pix[:, 0] + 0.5 + flow[0]).astype(jnp.int32)
     py = jnp.floor(pix[:, 1] + 0.5 + flow[1]).astype(jnp.int32)
     inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-    flat = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+    flat = flat_index(cfg, jnp.clip(px, 0, w - 1), jnp.clip(py, 0, h - 1))
     p_depth = jnp.where(inb, prev_depth[flat], 0.0)
     p_normal = jnp.where(inb[None], prev_normal[:, flat], 0.0)
     p_accum = jnp.where(inb[None], prev_buf[:, flat], 0.0)
@@ -1016,13 +1093,14 @@ def render_frame(
     # Raster background pass (rt64_view.cpp:1292-1319): composited over
     # the host-provided plane; rays sample the result.
     bg_rgba = jnp.concatenate(
-        [bg_planes.reshape(3, n), jnp.ones((1, n))], 0
+        [from_image(cfg, bg_planes), jnp.ones((1, n))], 0
     )
     bg_rgba = raster.rasterize(
         bg_rgba, sb.raster_bg, sb.raster_bg_count, sb.instance_rows,
-        sb.quad_pool, sb.quad_records, w, h, noise_rand, row_offset,
+        sb.quad_pool, sb.quad_records, w, h, noise_rand, pix=pix,
+        row_offset=row_offset,
     )
-    bg_planes = bg_rgba[:3].reshape(3, h, w)
+    bg_planes = to_image(cfg, bg_rgba[:3])
 
     # Background + sky (PrimaryRayGen.hlsl:47-56).
     su = (pix[:, 0].astype(jnp.float32) + gp.pixel_jitter[0]) / w
@@ -1080,16 +1158,18 @@ def render_frame(
 
     # DI denoise is compiled out in the reference (rt64_view.cpp:1439-1443).
     filtered_direct = direct_accum[:3]
-    fi = indirect_accum[:3].reshape(3, h, w)
     if cfg.denoiser_enabled:
+        fi = to_image(cfg, indirect_accum[:3])
         for _ in range(cfg.gi_filter_passes):
             fi = filters.gaussian_3x3(fi)
-    filtered_indirect = fi.reshape(3, n)
+        filtered_indirect = from_image(cfg, fi)
+    else:
+        filtered_indirect = indirect_accum[:3]
 
-    rt_rgb = filters.compose(
+    rt_rgb = to_image(cfg, filters.compose(
         g.diffuse_rgb, g.diffuse_a, filtered_direct, filtered_indirect,
         reflection_rgb, refraction_rgb, g.transparent,
-    ).reshape(3, h, w)
+    ))
 
     # Upscale to display resolution (bilinear final blit; the temporal /
     # learned upscalers run on these outputs in the view driver).
@@ -1101,10 +1181,10 @@ def render_frame(
     if visualization_mode == 0:
         if (cfg.display_height, cfg.display_width) != (h, w):
             flow_disp = filters.bilinear_resize(
-                g.flow.reshape(2, h, w), cfg.display_height, cfg.display_width
+                to_image(cfg, g.flow), cfg.display_height, cfg.display_width
             )
         else:
-            flow_disp = g.flow.reshape(2, h, w)
+            flow_disp = to_image(cfg, g.flow)
         disp = filters.motion_blur(
             disp, flow_disp, (float(w), float(h)),
             gp.motion_blur_strength, cfg.motion_blur_samples,
@@ -1125,7 +1205,7 @@ def render_frame(
     disp_rgba = raster.rasterize(
         disp_rgba, sb.raster_fg, sb.raster_fg_count, sb.instance_rows,
         sb.quad_pool, sb.quad_records, dw, dh, fg_noise,
-    )
+    )  # display image stays row-major; default grid is correct
     disp = disp_rgba[:3].reshape(3, dh, dw)
 
     new_history = History(
@@ -1154,10 +1234,10 @@ def debug_visualization(
     h, w = cfg.rt_height, cfg.rt_width
 
     def img3(x):
-        return x.reshape(3, h, w)
+        return to_image(cfg, x)
 
     def img1(x):
-        return jnp.broadcast_to(x.reshape(1, h, w), (3, h, w))
+        return jnp.broadcast_to(to_image(cfg, x[None]), (3, h, w))
 
     if mode == 1:
         out = img3(g.position)
@@ -1191,7 +1271,7 @@ def debug_visualization(
     elif mode == 12:
         out = img3(g.transparent)
     elif mode == 13:
-        out = _flow_visualization(cfg, g.flow.reshape(2, h, w))
+        out = _flow_visualization(cfg, to_image(cfg, g.flow))
     elif mode == 14:
         out = img1(g.reactive)
     elif mode == 15:

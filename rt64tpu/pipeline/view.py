@@ -127,8 +127,8 @@ class ViewRenderer:
         )
         view._last_outputs = {
             "instance_id": np.asarray(
-                out.gbuffers.instance.reshape(cfg.rt_height, cfg.rt_width)
-            ),
+                fg.to_image(cfg, out.gbuffers.instance.astype(jnp.float32))
+            ).astype(np.int32),
         }
 
     def _get_jitted(self, cfg, vis_mode):

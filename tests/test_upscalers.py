@@ -83,11 +83,10 @@ def test_learned_upscaler_residual_start():
     g.reactive = jnp.zeros((h * w,))
     out.gbuffers = g
 
-    class Cfg:
-        rt_height = h
-        rt_width = w
-        display_height = 16
-        display_width = 16
+    from rt64tpu.pipeline.framegraph import RenderConfig
+
+    Cfg = RenderConfig(rt_width=w, rt_height=h, display_width=16,
+                       display_height=16)
 
     try:
         res = learned_upscaler.upscale(out, Cfg)
