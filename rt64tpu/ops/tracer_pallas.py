@@ -365,7 +365,14 @@ def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
 
     init = (jnp.int32(0), jnp.float32(0),
             jnp.zeros((BLOCK_RAYS, 1), jnp.float32))
-    _, _, blocked = jax.lax.while_loop(cond, body, init)
+    i_final, _, blocked = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the i_final prefetch in flight; drain it so the
+    # kernel never ends with a dangling DMA.
+    @pl.when(i_final < count)
+    def _():
+        cluster_dma(jax.lax.rem(i_final, 2), i_final).wait()
+
     out_ref[:] = (
         blocked.reshape(1, BLOCK_RAYS // 128, 128) > 0.5
     ).astype(jnp.int32)
