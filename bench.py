@@ -32,17 +32,26 @@ def main():
     ap.add_argument("--gi", type=int, default=1)
     ap.add_argument("--reflections", type=int, default=2)
     ap.add_argument("--target-fps", type=float, default=60.0)
+    ap.add_argument("--scene", choices=["sample", "castle"], default="sample",
+                    help="castle = castle-grounds analog (the BASELINE workload)")
     args = ap.parse_args()
 
     import jax
     from functools import partial
-    from rt64tpu.utils.testscenes import build_sample_scene
     from rt64tpu.pipeline import framegraph as fg
 
-    dev, scene, view = build_sample_scene(
-        width=args.width, height=args.height, di_samples=args.di,
-        gi_samples=args.gi,
-    )
+    if args.scene == "castle":
+        from rt64tpu.utils.castle_scene import build_castle_scene
+        dev, scene, view = build_castle_scene(
+            width=args.width, height=args.height, di_samples=args.di,
+            gi_samples=args.gi,
+        )
+    else:
+        from rt64tpu.utils.testscenes import build_sample_scene
+        dev, scene, view = build_sample_scene(
+            width=args.width, height=args.height, di_samples=args.di,
+            gi_samples=args.gi,
+        )
     view.max_reflections = args.reflections
     view.update()
     r = view._renderer
@@ -83,7 +92,7 @@ def main():
     mrays = n * rays_per_pixel * fps / 1e6
 
     print(json.dumps({
-        "metric": f"fps@{args.width}x{args.height} (sample scene, di={args.di} gi={args.gi} refl={args.reflections}; {mrays:.0f} Mrays/s)",
+        "metric": f"fps@{args.width}x{args.height} ({args.scene} scene, di={args.di} gi={args.gi} refl={args.reflections}; {mrays:.0f} Mrays/s)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / args.target_fps, 3),

@@ -216,6 +216,10 @@ def _reintersect_uv(rays: _Rays, scene: TraceScene, tri):
     c0 = scene.v0[:, tri_s]  # (3, N)
     c1 = scene.v1[:, tri_s]
     c2 = scene.v2[:, tri_s]
+    return _uv_from_corners(rays, c0, c1, c2, tri)
+
+
+def _uv_from_corners(rays: _Rays, c0, c1, c2, tri):
     e1 = c1 - c0
     e2 = c2 - c0
     dx, dy, dz = rays.dx[:, 0], rays.dy[:, 0], rays.dz[:, 0]
@@ -236,27 +240,57 @@ def _reintersect_uv(rays: _Rays, scene: TraceScene, tri):
     return jnp.stack([jnp.where(ok, u, 0.0), jnp.where(ok, v, 0.0)], axis=-1)
 
 
+def _extract_k_smallest(key, ids, k: int):
+    """K smallest (key, id) pairs per row, ascending — built ONLY from
+    min/max reduces and masked selects. TPU top_k lowers to a full sort
+    (measured ~30x slower at this shape); k passes of masked
+    min-extraction are nearly free on the VPU.
+
+    key: (N, M) float; ids: (1, M) or (N, M) int32 triangle ids.
+    Returns (t (N, K) ascending, tri (N, K), -1/_BIG padded).
+    """
+    m = key.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    ids = jnp.broadcast_to(ids, key.shape) if ids.shape[0] == 1 else ids
+    ts, tris = [], []
+    for _ in range(k):
+        best = key.min(axis=1)
+        sel = key <= best[:, None]
+        # Choose one column (max col among ties), then read ITS id and
+        # mask exactly that column out — ids and mask must agree.
+        csel = jnp.where(sel, col, -1).max(axis=1)
+        at = col == csel[:, None]
+        tri = jnp.where(at, ids, -1).max(axis=1)
+        miss = best >= _BIG * 0.5
+        ts.append(jnp.where(miss, _BIG, best))
+        tris.append(jnp.where(miss, -1, tri))
+        key = jnp.where(at, _BIG, key)
+    return jnp.stack(ts, axis=1), jnp.stack(tris, axis=1)
+
+
 def trace_alpha(
     origins, dirs, t_min, t_max, scene: TraceScene, k_alpha: int,
     cull_backface: bool, chunk: int = 256,
 ):
     """K nearest alpha-class hits over the compacted alpha list.
 
-    Returns (t_biased (N,K) sorted, tri (N,K), uv (N,K,2)).
+    Returns (t_biased (N,K) sorted, tri (N,K), uv (N,K,2)). The K-slot
+    collection is sort-free (see _extract_k_smallest); barycentrics are
+    recovered once per final slot by re-intersection, one packed
+    (T, 9)-row gather per slot.
     """
     n = origins.shape[1]
     a_cap = scene.alpha_idx.shape[0]
     k = k_alpha
     t_a = jnp.full((n, k), _BIG, jnp.float32)
     tri_a = jnp.full((n, k), -1, jnp.int32)
-    uv_a = jnp.zeros((n, k, 2), jnp.float32)
     if a_cap == 0:
-        return t_a, tri_a, uv_a
+        return t_a, tri_a, jnp.zeros((n, k, 2), jnp.float32)
     chunk = min(chunk, a_cap)
     rays = _Rays.of(origins, dirs, t_min, t_max)
 
     def step(carry, ids):
-        t_a, tri_a, uv_a = carry
+        t_a, tri_a = carry
         live = ids >= 0
         ids_s = jnp.maximum(ids, 0)
         g3 = lambda a: a[:, ids_s]
@@ -267,25 +301,30 @@ def trace_alpha(
         )
         hit = hit & live[None, :]
         key = jnp.where(hit, t - g(scene.bias)[None, :], _BIG)
-        merged_key = jnp.concatenate([t_a, key], axis=1)
-        merged_tri = jnp.concatenate(
-            [tri_a, jnp.broadcast_to(ids[None, :], key.shape)], axis=1
+        ext_t, ext_tri = _extract_k_smallest(key, ids[None, :], k)
+        merged_t, merged_tri = _extract_k_smallest(
+            jnp.concatenate([t_a, ext_t], axis=1),
+            jnp.concatenate([tri_a, ext_tri], axis=1),
+            k,
         )
-        merged_u = jnp.concatenate([uv_a[..., 0], u], axis=1)
-        merged_v = jnp.concatenate([uv_a[..., 1], v], axis=1)
-        neg, sel = jax.lax.top_k(-merged_key, k)
-        t_a = -neg
-        tri_a = jnp.take_along_axis(merged_tri, sel, axis=1)
-        uv_a = jnp.stack(
-            [jnp.take_along_axis(merged_u, sel, axis=1),
-             jnp.take_along_axis(merged_v, sel, axis=1)],
-            axis=-1,
-        )
-        return (t_a, tri_a, uv_a), None
+        return (merged_t, merged_tri), None
 
     ids_chunks = scene.alpha_idx.reshape(-1, chunk)
-    (t_a, tri_a, uv_a), _ = jax.lax.scan(step, (t_a, tri_a, uv_a), ids_chunks)
-    tri_a = jnp.where(t_a < _BIG * 0.5, tri_a, -1)
+    if ids_chunks.shape[0] == 1:
+        (t_a, tri_a), _ = step((t_a, tri_a), ids_chunks[0])
+    else:
+        (t_a, tri_a), _ = jax.lax.scan(step, (t_a, tri_a), ids_chunks)
+
+    # Barycentrics per final slot: one packed row-gather + MT redo.
+    packed = jnp.concatenate(
+        [scene.v0.T, scene.v1.T, scene.v2.T], axis=1
+    )  # (T, 9)
+    uvs = []
+    for j in range(k):
+        tri = tri_a[:, j]
+        rows = packed[jnp.maximum(tri, 0)].T  # (9, N)
+        uvs.append(_uv_from_corners(rays, rows[0:3], rows[3:6], rows[6:9], tri))
+    uv_a = jnp.stack(uvs, axis=1)  # (N, K, 2)
     return t_a, tri_a, uv_a
 
 

@@ -79,42 +79,72 @@ def build_cluster_data(scene):
 
 
 def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
-                      block_rays: int):
+                      block_rays: int, bias_max=0.0):
     """Per-ray-block compacted cluster visit lists (XLA pre-pass).
 
-    Returns (visits (n_blocks, nc) int32 cluster ids ordered
-    front-to-...: ascending id, padded with nc; counts (n_blocks,)).
+    Visit lists are sorted FRONT-TO-BACK by the block's conservative
+    cluster entry distance (min over the block's rays of the slab entry
+    t), which is what lets the kernel's while-loop terminate as soon as
+    the next cluster's entry lies beyond every ray's current best hit —
+    the packet analog of ordered BVH traversal.
+
+    Returns (visits (n_blocks, nc) int32 cluster ids front-to-back,
+    padded with nc; counts (n_blocks,); entry (n_blocks, nc) f32
+    conservative entry distance per visit slot, minus `bias_max` so it
+    lower-bounds the *biased* hit keys the kernel compares against).
     """
     n = origins.shape[1]
     nc = aabb_lo.shape[1]
     assert n % block_rays == 0
 
-    # Slab test per (ray, cluster): planar components.
-    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    # Slab test per (ray, cluster): planar components. Axes where the
+    # ray is (near-)parallel constrain nothing — forcing them to the
+    # full interval keeps the cull conservative (a signless 1/eps
+    # fallback would wrongly reject real hits).
     t_lo = jnp.full((n, nc), -jnp.inf)
     t_hi = jnp.full((n, nc), jnp.inf)
     for c in range(3):
         o = origins[c][:, None]
-        idir = inv(dirs[c])[:, None]
+        d = dirs[c]
+        par = (jnp.abs(d) <= 1e-12)[:, None]
+        idir = (1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0))[:, None]
         ta = (aabb_lo[c][None, :] - o) * idir
         tb = (aabb_hi[c][None, :] - o) * idir
-        t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
-        t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
+        t_lo = jnp.maximum(t_lo, jnp.where(par, -_BIG, jnp.minimum(ta, tb)))
+        t_hi = jnp.minimum(t_hi, jnp.where(par, _BIG, jnp.maximum(ta, tb)))
+    # Widen by a relative+absolute epsilon: triangles exactly on an AABB
+    # face must never be culled by slab rounding.
+    t_lo = t_lo - jnp.abs(t_lo) * 1e-5 - 1e-4
+    t_hi = t_hi + jnp.abs(t_hi) * 1e-5 + 1e-4
     hit = (t_lo <= t_hi) & (t_hi >= t_min[:, None]) & (t_lo <= t_max[:, None])
+    # Inactive clusters carry an inverted AABB (lo=+BIG, hi=-BIG); the
+    # per-axis min/max above would silently un-invert it into an
+    # infinite box, so mask them out explicitly.
+    box_ok = jnp.all(aabb_lo <= aabb_hi, axis=0)
+    hit = hit & box_ok[None, :]
 
     n_blocks = n // block_rays
     block_hit = hit.reshape(n_blocks, block_rays, nc).any(axis=1)
     counts = block_hit.sum(axis=1).astype(jnp.int32)
-    # Compact ascending cluster ids; pad with nc (an always-empty slot).
-    order = jnp.argsort(~block_hit, axis=1, stable=True).astype(jnp.int32)
+    # Block entry distance: min over rays of the (clamped) slab entry.
+    entry_r = jnp.where(hit, jnp.maximum(t_lo, t_min[:, None]), _BIG)
+    block_entry = entry_r.reshape(n_blocks, block_rays, nc).min(axis=1)
+    key = jnp.where(block_hit, block_entry, _BIG)
+    # Front-to-back compaction; pad with nc (an always-empty slot).
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
     visits = jnp.where(
         jnp.arange(nc)[None, :] < counts[:, None], order, nc
     ).astype(jnp.int32)
-    return visits, counts
+    entry = jnp.take_along_axis(key, order, axis=1) - bias_max
+    return visits, counts, entry
 
 
-def _kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, t_ref, tri_ref,
-            scratch, sems, *, cull_backface: bool, nc: int):
+def _kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm, t_ref,
+            tri_ref, scratch, sems, *, cull_backface: bool, nc: int):
+    """Ordered packet traversal: clusters arrive front-to-back and the
+    walk stops once the next cluster's conservative entry distance lies
+    beyond every ray's current best hit (packet early-out, the analog of
+    ordered BVH traversal with t-max shrinking)."""
     b = pl.program_id(0)
     count = counts_ref[b]
 
@@ -137,8 +167,12 @@ def _kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, t_ref, tri_ref,
     def _():
         cluster_dma(0, 0).start()
 
-    def body(i, carry):
-        t_best, tri_best = carry
+    def cond(carry):
+        i, worst, _, _ = carry
+        return (i < count) & (entry_ref[b, jnp.minimum(i, nc - 1)] <= worst)
+
+    def body(carry):
+        i, worst, t_best, tri_best = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < count)
@@ -191,40 +225,55 @@ def _kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, t_ref, tri_ref,
         idx = jnp.where(
             key <= best, cid * CLUSTER_SIZE + col, -1
         ).max(axis=1, keepdims=True)
-        better = best[:, 0] < t_best
-        t_best = jnp.where(better, best[:, 0], t_best)
-        tri_best = jnp.where(better, idx[:, 0], tri_best)
-        return (t_best, tri_best)
+        better = best < t_best
+        t_best = jnp.where(better, best, t_best)
+        tri_best = jnp.where(better, idx, tri_best)
+        worst = jnp.max(t_best)
+        return (i + 1, worst, t_best, tri_best)
 
+    # t_best starts at the ray's own t_max (+1 so t == t_max still wins):
+    # rays that can't hit anything past t_max stop gating the packet's
+    # early-out, so sky-heavy blocks terminate too (t_max is clamped to
+    # the scene-AABB exit by the caller).
+    t_init = tmax + 1.0
     init = (
-        jnp.full((BLOCK_RAYS,), _BIG, jnp.float32),
-        jnp.full((BLOCK_RAYS,), -1, jnp.int32),
+        jnp.int32(0),
+        jnp.max(t_init),
+        t_init,
+        jnp.full((BLOCK_RAYS, 1), -1, jnp.int32),
     )
-    t_best, tri_best = jax.lax.fori_loop(0, count, body, init)
+    i_final, _, t_best, tri_best = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the i_final prefetch in flight; drain it so the
+    # kernel never ends with a dangling DMA.
+    @pl.when(i_final < count)
+    def _():
+        cluster_dma(jax.lax.rem(i_final, 2), i_final).wait()
+
     t_ref[:] = t_best.reshape(1, BLOCK_RAYS // 128, 128)
     tri_ref[:] = tri_best.reshape(1, BLOCK_RAYS // 128, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("cull_backface", "interpret"))
-def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts,
+def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
                               cull_backface: bool, interpret: bool):
     n = rays8.shape[1]
     n_blocks = n // BLOCK_RAYS
     nc = cluster_tris.shape[0]
     kern = functools.partial(_kernel, cull_backface=cull_backface, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK_RAYS), lambda b, c, v: (0, b),
+            pl.BlockSpec((8, BLOCK_RAYS), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # clusters stay in HBM
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                         lambda b, c, v: (b, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                         lambda b, c, v: (b, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
@@ -239,7 +288,7 @@ def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts,
             jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(counts, visits, rays8, cluster_tris)
+    )(counts, visits, entries, rays8, cluster_tris)
     return t.reshape(n), tri.reshape(n)
 
 
@@ -264,21 +313,47 @@ def make_opaque_fn(interpret: bool = False):
             origins_p, dirs_p, t_min_p, t_max_p = origins, dirs, t_min, t_max
 
         cluster_tris, lo, hi = build_cluster_data(scene)
-        visits, counts = block_visit_lists(
-            origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
+
+        # Clamp each ray's t_max to its scene-AABB exit: rays that leave
+        # the geometry (sky) stop gating the packet early-out, and rays
+        # that miss the scene entirely visit nothing. Misses are
+        # identified by tri == -1, so the clamp never changes results.
+        glo = lo.min(axis=1, keepdims=True)  # (3, 1)
+        ghi = hi.max(axis=1, keepdims=True)
+        g_lo = jnp.full(t_min_p.shape, -_BIG)
+        g_hi = jnp.full(t_min_p.shape, _BIG)
+        for c in range(3):
+            d = dirs_p[c]
+            par = jnp.abs(d) <= 1e-12
+            idir = 1.0 / jnp.where(~par, d, 1.0)
+            ta = (glo[c] - origins_p[c]) * idir
+            tb = (ghi[c] - origins_p[c]) * idir
+            g_lo = jnp.maximum(g_lo, jnp.where(par, -_BIG, jnp.minimum(ta, tb)))
+            g_hi = jnp.minimum(g_hi, jnp.where(par, _BIG, jnp.maximum(ta, tb)))
+        g_hi = g_hi + jnp.abs(g_hi) * 1e-5 + 1e-4  # never clip boundary hits
+        in_box = (g_lo <= g_hi) & (g_hi >= t_min_p)
+        t_max_k = jnp.where(in_box, jnp.minimum(t_max_p, g_hi), t_min_p - 1.0)
+
+        bias_max = jnp.max(
+            jnp.where(scene.valid & ~scene.alpha, scene.bias, 0.0)
+        )
+        visits, counts, entries = block_visit_lists(
+            origins_p, dirs_p, t_min_p, t_max_k, lo, hi, BLOCK_RAYS,
+            bias_max=bias_max,
         )
         # Append an always-inactive pad cluster for the visit padding id.
         pad_cluster = jnp.zeros((1,) + cluster_tris.shape[1:], cluster_tris.dtype)
         cluster_tris = jnp.concatenate([cluster_tris, pad_cluster], axis=0)
 
         rays8 = jnp.concatenate(
-            [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
+            [origins_p, dirs_p, t_min_p[None], t_max_k[None]], axis=0
         )
         t, tri = _trace_opaque_pallas_impl(
-            rays8, cluster_tris, visits, counts, cull_backface, interpret
+            rays8, cluster_tris, visits, counts, entries, cull_backface,
+            interpret,
         )
         t, tri = t[:n], tri[:n]
-        tri = jnp.where(t < _BIG * 0.5, tri, -1)
+        t = jnp.where(tri >= 0, t, _BIG)
         rays = xtr._Rays.of(origins, dirs, t_min, t_max)
         uv = xtr._reintersect_uv(rays, scene, tri)
         return t, tri, uv
@@ -286,11 +361,12 @@ def make_opaque_fn(interpret: bool = False):
     return opaque_fn
 
 
-def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
-                   scratch, sems, *, nc: int):
+def _shadow_kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm,
+                   out_ref, scratch, sems, *, nc: int):
     """Any-hit occlusion kernel: early-exits the cluster walk once every
     ray in the block is blocked (the ACCEPT_FIRST_HIT_AND_END_SEARCH
-    analog, Lights.hlsli:43). Backface culling off
+    analog, Lights.hlsli:43), or once the next front-to-back cluster
+    starts beyond every unblocked ray's t_max. Backface culling off
     (SKIP_BACKFACE_SHADOWS undefined)."""
     b = pl.program_id(0)
     count = counts_ref[b]
@@ -315,11 +391,15 @@ def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
         cluster_dma(0, 0).start()
 
     def cond(carry):
-        i, blocked_n, _ = carry
-        return (i < count) & (blocked_n < float(BLOCK_RAYS))
+        i, blocked_n, worst, _ = carry
+        return (
+            (i < count)
+            & (blocked_n < float(BLOCK_RAYS))
+            & (entry_ref[b, jnp.minimum(i, nc - 1)] <= worst)
+        )
 
     def body(carry):
-        i, blocked_n, blocked = carry
+        i, blocked_n, worst, blocked = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < count)
@@ -361,11 +441,14 @@ def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
             blocked, jnp.where(hit, 1.0, 0.0).max(axis=1, keepdims=True)
         )
         blocked_n = blocked.sum()
-        return (i + 1, blocked_n, blocked)
+        # Farthest t_max among still-unblocked rays: clusters entirely
+        # beyond it can't block anything that matters.
+        worst = jnp.max(tmax * (1.0 - blocked))
+        return (i + 1, blocked_n, worst, blocked)
 
-    init = (jnp.int32(0), jnp.float32(0),
+    init = (jnp.int32(0), jnp.float32(0), jnp.max(tmax),
             jnp.zeros((BLOCK_RAYS, 1), jnp.float32))
-    i_final, _, blocked = jax.lax.while_loop(cond, body, init)
+    i_final, _, _, blocked = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the i_final prefetch in flight; drain it so the
     # kernel never ends with a dangling DMA.
@@ -379,21 +462,22 @@ def _shadow_kernel(counts_ref, visits_ref, rays_ref, cluster_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _shadow_pallas_impl(rays8, cluster_tris, visits, counts, interpret: bool):
+def _shadow_pallas_impl(rays8, cluster_tris, visits, counts, entries,
+                        interpret: bool):
     n = rays8.shape[1]
     n_blocks = n // BLOCK_RAYS
     nc = cluster_tris.shape[0]
     kern = functools.partial(_shadow_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK_RAYS), lambda b, c, v: (0, b),
+            pl.BlockSpec((8, BLOCK_RAYS), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                               lambda b, c, v: (b, 0, 0),
+                               lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
@@ -406,7 +490,7 @@ def _shadow_pallas_impl(rays8, cluster_tris, visits, counts, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128),
                                        jnp.int32),
         interpret=interpret,
-    )(counts, visits, rays8, cluster_tris)
+    )(counts, visits, entries, rays8, cluster_tris)
     return blocked.reshape(n)
 
 
@@ -433,7 +517,7 @@ def make_shadow_opaque_fn(interpret: bool = False):
             origins_p, dirs_p, t_min_p, t_max_p = origins, dirs, t_min, t_max
 
         cluster_tris, lo, hi = build_cluster_data(scene)
-        visits, counts = block_visit_lists(
+        visits, counts, entries = block_visit_lists(
             origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
         )
         pad_cluster = jnp.zeros((1,) + cluster_tris.shape[1:], cluster_tris.dtype)
@@ -442,7 +526,7 @@ def make_shadow_opaque_fn(interpret: bool = False):
             [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
         )
         blocked = _shadow_pallas_impl(
-            rays8, cluster_tris, visits, counts, interpret
+            rays8, cluster_tris, visits, counts, entries, interpret
         )[:n] > 0
         t = jnp.where(blocked, 0.0, _BIG)
         tri = jnp.where(blocked, 0, -1)
