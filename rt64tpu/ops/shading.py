@@ -173,30 +173,45 @@ def shade_hits(
     alpha = jnp.where(valid, alpha, 0.0)
 
     # --- normal mapping (rt64_shader.cpp:522-533) ---------------------------
+    # Most N64 content binds no normal/specular maps; both fetches skip
+    # at runtime (lax.cond) when no hit in the batch uses one.
     rec_n = gt[R.T_TEX_N].astype(jnp.int32)
     do_nmap = fl(R.F_NORMAL_MAP) & (rec_n >= 0) & valid
     uv_scale = mat(R.M_UV_DETAIL)
-    tangent, binormal = tangent_binormal(gt, normal_preflip)
-    tangent = tangent * normal_sign[None]
-    binormal = binormal * normal_sign[None]
-    nmap = tex_ops.sample_quad(
-        sb.quad_pool, sb.quad_records, jnp.where(do_nmap, rec_n, -1),
-        uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
+
+    def nmap_eval(_):
+        tangent, binormal = tangent_binormal(gt, normal_preflip)
+        tangent = tangent * normal_sign[None]
+        binormal = binormal * normal_sign[None]
+        nmap = tex_ops.sample_quad(
+            sb.quad_pool, sb.quad_records, jnp.where(do_nmap, rec_n, -1),
+            uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
+        )
+        ncol = nmap[:3] * 2.0 - 1.0
+        perturbed = vm.normalize(
+            normal * ncol[2][None] + tangent * ncol[0][None]
+            + binormal * ncol[1][None]
+        )
+        return jnp.where(do_nmap[None], perturbed, normal)
+
+    normal = jax.lax.cond(
+        jnp.any(do_nmap), nmap_eval, lambda _: normal, None
     )
-    ncol = nmap[:3] * 2.0 - 1.0
-    perturbed = vm.normalize(
-        normal * ncol[2][None] + tangent * ncol[0][None] + binormal * ncol[1][None]
-    )
-    normal = jnp.where(do_nmap[None], perturbed, normal)
 
     # --- specular map (rt64_shader.cpp:539-545) -----------------------------
     rec_s = gt[R.T_TEX_S].astype(jnp.int32)
     do_smap = fl(R.F_SPECULAR_MAP) & (rec_s >= 0) & valid
-    smap = tex_ops.sample_quad(
-        sb.quad_pool, sb.quad_records, jnp.where(do_smap, rec_s, -1),
-        uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
+
+    def smap_eval(_):
+        smap = tex_ops.sample_quad(
+            sb.quad_pool, sb.quad_records, jnp.where(do_smap, rec_s, -1),
+            uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
+        )
+        return jnp.where(do_smap[None], smap[:3], jnp.ones((3, u.shape[0])))
+
+    specular = jax.lax.cond(
+        jnp.any(do_smap), smap_eval, lambda _: jnp.ones((3, u.shape[0])), None
     )
-    specular = jnp.where(do_smap[None], smap[:3], jnp.ones_like(smap[:3]))
 
     # --- motion flow (rt64_shader.cpp:535-537) -------------------------------
     pp0 = gt[R.T_PP0 : R.T_PP0 + 3]

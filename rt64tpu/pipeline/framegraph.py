@@ -341,50 +341,41 @@ def _trace_and_shade(
         opaque_fn=_opaque_fn(cfg),
     )
     k1 = k_alpha + 1
-    tri_all = jnp.concatenate([hits.tri_a.T, hits.tri_op[None]], 0)  # (K1, N)
-    u_all = jnp.concatenate([hits.uv_a[..., 0].T, hits.uv_op[None, :, 0]], 0)
-    v_all = jnp.concatenate([hits.uv_a[..., 1].T, hits.uv_op[None, :, 1]], 0)
     t_all = jnp.concatenate([hits.t_a.T, hits.t_op[None]], 0)
 
-    def shade_all(_):
-        sh = shade_ops.shade_hits(
-            sb, tri_rows,
-            jnp.tile(dirs, (1, k1)),
-            tri_all.reshape(-1), u_all.reshape(-1), v_all.reshape(-1),
-            jnp.tile(noise_rand, k1),
-        )
-        return sh._replace(tri=tri_all.reshape(-1))
+    def shade_slot(tri, u, v):
+        sh = shade_ops.shade_hits(sb, tri_rows, dirs, tri, u, v, noise_rand)
+        return sh._replace(tri=tri)
 
-    def shade_opaque_only(_):
-        # No alpha hits anywhere: shade just the opaque slot and pad the
-        # K alpha slots with empty results — 1/K1 of the shading work.
-        sh = shade_ops.shade_hits(
-            sb, tri_rows, dirs, hits.tri_op, hits.uv_op[:, 0],
-            hits.uv_op[:, 1], noise_rand,
-        )
-        pad_c = lambda a: jnp.concatenate(
-            [jnp.zeros(a.shape[:-1] + (k_alpha * n,), a.dtype), a], axis=-1
-        )
+    def empty_slot(_):
         return shade_ops.HitShade(
-            color=pad_c(sh.color),
-            normal=pad_c(sh.normal),
-            specular=pad_c(sh.specular),
-            flow=pad_c(sh.flow),
-            instance=jnp.concatenate(
-                [jnp.full((k_alpha * n,), -1, jnp.int32), sh.instance]
-            ),
-            rows_t=pad_c(sh.rows_t),
-            tri=jnp.concatenate(
-                [jnp.full((k_alpha * n,), -1, jnp.int32), hits.tri_op]
-            ),
+            color=jnp.zeros((4, n)), normal=jnp.zeros((3, n)),
+            specular=jnp.zeros((3, n)), flow=jnp.zeros((3, n)),
+            instance=jnp.full((n,), -1, jnp.int32),
+            rows_t=jnp.zeros((R.TROW, n)),
+            tri=jnp.full((n,), -1, jnp.int32),
         )
 
-    if k_alpha > 0:
-        shade = jax.lax.cond(
-            jnp.any(hits.tri_a >= 0), shade_all, shade_opaque_only, None
-        )
-    else:
-        shade = shade_all(None)
+    # Shade each slot separately under its own runtime cond: slots are
+    # front-to-back sorted so trailing alpha slots are usually empty for
+    # the whole batch and skip entirely (most scenes/rays see <= 1 alpha
+    # layer; the reference pays its any-hit per intersection instead).
+    parts = []
+    for s in range(k_alpha):
+        tri_s = hits.tri_a[:, s]
+        parts.append(jax.lax.cond(
+            jnp.any(tri_s >= 0),
+            lambda _, s=s: shade_slot(
+                hits.tri_a[:, s], hits.uv_a[:, s, 0], hits.uv_a[:, s, 1]
+            ),
+            empty_slot,
+            None,
+        ))
+    parts.append(shade_slot(hits.tri_op, hits.uv_op[:, 0], hits.uv_op[:, 1]))
+    shade = shade_ops.HitShade(*[
+        jnp.concatenate([getattr(p, f) for p in parts], axis=-1)
+        for f in shade_ops.HitShade._fields
+    ])
     return shade, t_all, k1
 
 
