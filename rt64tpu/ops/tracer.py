@@ -240,19 +240,23 @@ def _uv_from_corners(rays: _Rays, c0, c1, c2, tri):
     return jnp.stack([jnp.where(ok, u, 0.0), jnp.where(ok, v, 0.0)], axis=-1)
 
 
-def _extract_k_smallest(key, ids, k: int):
+def _extract_k_smallest(key, ids, k: int, payloads=()):
     """K smallest (key, id) pairs per row, ascending — built ONLY from
     min/max reduces and masked selects. TPU top_k lowers to a full sort
     (measured ~30x slower at this shape); k passes of masked
     min-extraction are nearly free on the VPU.
 
     key: (N, M) float; ids: (1, M) or (N, M) int32 triangle ids.
-    Returns (t (N, K) ascending, tri (N, K), -1/_BIG padded).
+    payloads: extra (N, M) float arrays extracted at the same columns
+    (gather-free payload carry — TPU gathers cost per row).
+    Returns (t (N, K) ascending, tri (N, K), *payloads (N, K)),
+    -1/_BIG/0 padded.
     """
     m = key.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
     ids = jnp.broadcast_to(ids, key.shape) if ids.shape[0] == 1 else ids
     ts, tris = [], []
+    pls = [[] for _ in payloads]
     for _ in range(k):
         best = key.min(axis=1)
         sel = key <= best[:, None]
@@ -264,8 +268,12 @@ def _extract_k_smallest(key, ids, k: int):
         miss = best >= _BIG * 0.5
         ts.append(jnp.where(miss, _BIG, best))
         tris.append(jnp.where(miss, -1, tri))
+        for acc, p in zip(pls, payloads):
+            pv = jnp.where(at, p, -_BIG).max(axis=1)
+            acc.append(jnp.where(miss, 0.0, pv))
         key = jnp.where(at, _BIG, key)
-    return jnp.stack(ts, axis=1), jnp.stack(tris, axis=1)
+    return (jnp.stack(ts, axis=1), jnp.stack(tris, axis=1),
+            *[jnp.stack(acc, axis=1) for acc in pls])
 
 
 def trace_alpha(
@@ -275,22 +283,23 @@ def trace_alpha(
     """K nearest alpha-class hits over the compacted alpha list.
 
     Returns (t_biased (N,K) sorted, tri (N,K), uv (N,K,2)). The K-slot
-    collection is sort-free (see _extract_k_smallest); barycentrics are
-    recovered once per final slot by re-intersection, one packed
-    (T, 9)-row gather per slot.
+    collection is sort-free (see _extract_k_smallest) and gather-free:
+    barycentrics ride the extraction as masked-reduce payloads.
     """
     n = origins.shape[1]
     a_cap = scene.alpha_idx.shape[0]
     k = k_alpha
     t_a = jnp.full((n, k), _BIG, jnp.float32)
     tri_a = jnp.full((n, k), -1, jnp.int32)
+    u_a = jnp.zeros((n, k), jnp.float32)
+    v_a = jnp.zeros((n, k), jnp.float32)
     if a_cap == 0:
         return t_a, tri_a, jnp.zeros((n, k, 2), jnp.float32)
     chunk = min(chunk, a_cap)
     rays = _Rays.of(origins, dirs, t_min, t_max)
 
     def step(carry, ids):
-        t_a, tri_a = carry
+        t_a, tri_a, u_a, v_a = carry
         live = ids >= 0
         ids_s = jnp.maximum(ids, 0)
         g3 = lambda a: a[:, ids_s]
@@ -301,30 +310,30 @@ def trace_alpha(
         )
         hit = hit & live[None, :]
         key = jnp.where(hit, t - g(scene.bias)[None, :], _BIG)
-        ext_t, ext_tri = _extract_k_smallest(key, ids[None, :], k)
-        merged_t, merged_tri = _extract_k_smallest(
+        ext = _extract_k_smallest(key, ids[None, :], k, payloads=(u, v))
+        if single_chunk:
+            return ext, None
+        ext_t, ext_tri, ext_u, ext_v = ext
+        merged = _extract_k_smallest(
             jnp.concatenate([t_a, ext_t], axis=1),
             jnp.concatenate([tri_a, ext_tri], axis=1),
             k,
+            payloads=(
+                jnp.concatenate([u_a, ext_u], axis=1),
+                jnp.concatenate([v_a, ext_v], axis=1),
+            ),
         )
-        return (merged_t, merged_tri), None
+        return merged, None
 
     ids_chunks = scene.alpha_idx.reshape(-1, chunk)
-    if ids_chunks.shape[0] == 1:
-        (t_a, tri_a), _ = step((t_a, tri_a), ids_chunks[0])
+    single_chunk = ids_chunks.shape[0] == 1
+    if single_chunk:
+        (t_a, tri_a, u_a, v_a), _ = step((t_a, tri_a, u_a, v_a), ids_chunks[0])
     else:
-        (t_a, tri_a), _ = jax.lax.scan(step, (t_a, tri_a), ids_chunks)
-
-    # Barycentrics per final slot: one packed row-gather + MT redo.
-    packed = jnp.concatenate(
-        [scene.v0.T, scene.v1.T, scene.v2.T], axis=1
-    )  # (T, 9)
-    uvs = []
-    for j in range(k):
-        tri = tri_a[:, j]
-        rows = packed[jnp.maximum(tri, 0)].T  # (9, N)
-        uvs.append(_uv_from_corners(rays, rows[0:3], rows[3:6], rows[6:9], tri))
-    uv_a = jnp.stack(uvs, axis=1)  # (N, K, 2)
+        (t_a, tri_a, u_a, v_a), _ = jax.lax.scan(
+            step, (t_a, tri_a, u_a, v_a), ids_chunks
+        )
+    uv_a = jnp.stack([u_a, v_a], axis=-1)  # (N, K, 2)
     return t_a, tri_a, uv_a
 
 
