@@ -419,8 +419,19 @@ def _resolve_primary(
     tl_nrm = jnp.zeros((3, n))
     tl_spec = jnp.zeros((3, n))
 
+    carry = (
+        res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
+        refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
+        st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec,
+    )
+
     tri_slots = shade.tri  # (K1*N,) original triangle ids
-    for s in range(k1):
+
+    def slot_body(carry, s):
+        (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
+         refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
+         st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm,
+         tl_spec) = carry
         color = _slot(shade.color, n, s)  # (4, N)
         inst = _slot(shade.instance, n, s)
         normal = _slot(shade.normal, n, s)
@@ -507,6 +518,29 @@ def _resolve_primary(
         st_inst = jnp.where(store_hit, inst, st_inst)
         st_flow3 = jnp.where(store_hit[None], flow3, st_flow3)
         st_tri = jnp.where(store_hit, _slot(tri_slots, n, s), st_tri)
+        return (
+            res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
+            refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
+            st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec,
+        )
+
+    # Alpha slots skip their whole resolve step at runtime when empty
+    # batch-wide (they're front-to-back, so trailing slots usually are);
+    # the opaque slot always runs.
+    for s in range(k1):
+        if s < k1 - 1:
+            carry = jax.lax.cond(
+                jnp.any(_slot(shade.instance, n, s) >= 0),
+                lambda c, s=s: slot_body(c, s),
+                lambda c: c,
+                carry,
+            )
+        else:
+            carry = slot_body(carry, s)
+
+    (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
+     refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
+     st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec) = carry
 
     # Shared transparent light (1 light, checkShadows=true,
     # PrimaryRayGen.hlsl:139-147). One row gather per selected id
