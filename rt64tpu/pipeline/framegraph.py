@@ -59,6 +59,7 @@ class RenderConfig:
     upscaler: int = 0
     tri_chunk: int = 512
     alpha_cap: int = 256  # compacted alpha triangle list capacity
+    refraction_enabled: bool = True  # static skip (dryrun/slim configs)
     use_pallas_tracer: bool = False  # cluster-culled packet kernel (TPU)
     # Multi-chip row tiling (parallel/tiling.py): rt_height is this
     # shard's rows; full_height is the whole image (0 = unsharded).
@@ -1158,10 +1159,13 @@ def render_frame(
         sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
         noise_rand, bg_planes, row_offset,
     )
-    refraction_rgb = refraction_pass(
-        sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
-        bg_planes, su, sv,
-    )
+    if cfg.refraction_enabled:
+        refraction_rgb = refraction_pass(
+            sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
+            bg_planes, su, sv,
+        )
+    else:
+        refraction_rgb = jnp.zeros((3, n))
     refl_state = (
         jnp.zeros((3, n)), g.refl_alpha, g.position, g.view_dir, g.normal,
         g.instance, g.row,
