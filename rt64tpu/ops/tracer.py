@@ -325,7 +325,13 @@ def trace_alpha(
         )
         return merged, None
 
-    ids_chunks = scene.alpha_idx.reshape(-1, chunk)
+    alpha_idx = scene.alpha_idx
+    pad = (-a_cap) % chunk
+    if pad:
+        alpha_idx = jnp.concatenate(
+            [alpha_idx, jnp.full((pad,), -1, jnp.int32)]
+        )
+    ids_chunks = alpha_idx.reshape(-1, chunk)
     single_chunk = ids_chunks.shape[0] == 1
     if single_chunk:
         (t_a, tri_a, u_a, v_a), _ = step((t_a, tri_a, u_a, v_a), ids_chunks[0])

@@ -177,6 +177,7 @@ class ScenePacker:
 
         voff = 0
         toff = 0
+        alpha_count = 0
         for ii, inst in enumerate(instances):
             mesh = inst.desc.mesh
             shader = inst.desc.shader
@@ -196,6 +197,8 @@ class ScenePacker:
             tri_idx[toff : toff + nt] = parsed["indices"][perm] + voff
             tri_instance[toff : toff + nt] = ii
             tri_valid[toff : toff + nt] = True
+            if self._alpha_class(shader, inst.desc.material):
+                alpha_count += nt
             voff += nv
             toff += nt
 
@@ -212,6 +215,20 @@ class ScenePacker:
         )
         self._geometry_key = key
         self.triangle_count = toff
+        # Upper bound on compacted alpha-class triangles this epoch:
+        # drives alpha_cap growth so compact_alpha never silently drops
+        # hits (the any-hit completeness contract, rt64_shader.cpp:547-581).
+        self.alpha_triangle_count = alpha_count
+
+    @property
+    def alpha_cap(self) -> int:
+        """Capacity bucket for the compacted alpha list: the configured
+        floor, grown to fit this epoch's actual alpha-class count."""
+        from rt64tpu.limits import _next_bucket
+
+        base = self.limits.alpha_triangles
+        n = getattr(self, "alpha_triangle_count", 0)
+        return base if n <= base else _next_bucket(n, base)
 
     # -- per-frame -------------------------------------------------------------
     def pack_frame(self, instances: List[Instance], lights_arrays,

@@ -165,7 +165,7 @@ class ViewRenderer:
             max_reflections=view.max_reflections,
             denoiser_enabled=bool(vd.denoiser_enabled),
             upscaler=int(vd.upscaler),
-            alpha_cap=self.packer.limits.alpha_triangles,
+            alpha_cap=self.packer.alpha_cap,
             use_pallas_tracer=jax.default_backend() not in ("cpu",),
         )
 

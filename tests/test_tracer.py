@@ -142,3 +142,56 @@ def test_backface_culling_flag():
     # Shadow rays don't cull (SKIP_BACKFACE_SHADOWS undefined).
     sh = tracer.trace_shadow(orig, dirs, tmin, tmax, mk(False), k_alpha=1)
     assert int(sh.tri_op[0]) == 0
+
+
+def test_alpha_capacity_growth_no_silent_truncation():
+    """>256 alpha triangles must all be reachable: the packer grows the
+    compacted-list capacity instead of silently dropping hits
+    (any-hit completeness, rt64_shader.cpp:547-581)."""
+    from rt64tpu.limits import SceneLimits
+    from rt64tpu.pipeline.scene_buffers import ScenePacker
+
+    n_alpha = 320
+    # 320 parallel alpha quora along +z; a ray down z must see the LAST
+    # one (index > 256) among its K nearest when traced front-to-back.
+    v0 = np.zeros((n_alpha, 3), np.float32)
+    v1 = np.zeros((n_alpha, 3), np.float32)
+    v2 = np.zeros((n_alpha, 3), np.float32)
+    z = 1.0 + np.arange(n_alpha, dtype=np.float32)
+    v0[:, 0], v0[:, 1], v0[:, 2] = -1, -1, z
+    v1[:, 0], v1[:, 1], v1[:, 2] = 3, -1, z
+    v2[:, 0], v2[:, 1], v2[:, 2] = -1, 3, z
+    valid = np.ones(n_alpha, bool)
+    alpha = np.ones(n_alpha, bool)
+    no_cull = np.ones(n_alpha, bool)
+    bias = np.zeros(n_alpha, np.float32)
+
+    # Old behavior: capacity 256 silently drops ids >= 256.
+    truncated = tracer.compact_alpha(
+        jnp.asarray(valid), jnp.asarray(alpha), 256
+    )
+    assert int((np.asarray(truncated) >= 0).sum()) == 256
+
+    # Grown capacity (what ScenePacker.alpha_cap now returns) keeps all.
+    packer = ScenePacker(SceneLimits())
+    packer.alpha_triangle_count = n_alpha
+    cap = packer.alpha_cap
+    assert cap >= n_alpha
+    scene = tracer.make_trace_scene_arrays(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(valid), jnp.asarray(alpha),
+        jnp.asarray(no_cull), jnp.asarray(bias), cap,
+    )
+    assert int((np.asarray(scene.alpha_idx) >= 0).sum()) == n_alpha
+
+    # A ray starting just before quad 300 must collect quads 300..303:
+    # all beyond the old 256 cap.
+    orig = jnp.asarray(np.array([[0.0, 0.0, 300.5]], np.float32).T)
+    dirs = jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32).T)
+    hits = tracer.trace(
+        orig, dirs, jnp.asarray(np.array([0.01], np.float32)),
+        jnp.asarray(np.array([1000.0], np.float32)), scene,
+        k_alpha=4, cull_backface=False, chunk=64,
+    )
+    got = sorted(int(i) for i in np.asarray(hits.tri_a[0]) if i >= 0)
+    assert got == [300, 301, 302, 303], got
