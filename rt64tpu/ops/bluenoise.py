@@ -2,11 +2,14 @@
 
 The reference ships a 512x512 RGB texture holding 64 frames of 64x64
 blue noise (res/bluenoise/LDR_64_64_64_RGB1.bmp, loaded at
-rt64_device.cpp:794-797; indexed by BlueNoise.hlsli:7-12). We generate
-an equivalent table with the void-and-cluster algorithm (Ulichney '93)
-at first use and cache it under the package as an .npy artifact, so
-sampling stays deterministic per (pixel, frame) exactly like the
-reference's.
+rt64_device.cpp:794-797; indexed by BlueNoise.hlsli:7-12 — frame f is
+the 64x64 tile at x=(f%8)*64, y=(f/8)*64). The package ships the SAME
+sequence converted to an .npy table (_bluenoise_cache.npy, produced by
+table_from_bmp) so every stochastic sample matches the reference's
+deterministic per-(pixel, frame) values — SURVEY.md section 7 calls
+keeping this asset identical a fidelity precondition. If the cache is
+missing, an equivalent table is generated with void-and-cluster
+(Ulichney '93) as a fallback.
 """
 
 from __future__ import annotations
@@ -95,6 +98,34 @@ def generate_table(frames: int = _FRAMES) -> np.ndarray:
         for c in range(3):
             out[f, :, :, c] = _void_and_cluster(_TILE, seed=f * 3 + c + 1)
     return out
+
+
+def table_from_bmp(path: str) -> np.ndarray:
+    """Convert the reference's LDR_64_64_64_RGB1.bmp (24-bit, 512x512,
+    8x8 grid of 64x64 frames) into the (64, 64, 64, 3) float table.
+    Values are unorm8 / 255, matching Texture2D.Load on an RGBA8 view.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"BM", "not a BMP"
+    offset = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    assert (width, abs(height), bpp) == (512, 512, 24), (width, height, bpp)
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, np.uint8, count=abs(height) * stride, offset=offset
+    ).reshape(abs(height), stride)[:, : width * 3].reshape(abs(height), width, 3)
+    if height > 0:  # bottom-up storage
+        rows = rows[::-1]
+    rgb = rows[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB
+    table = np.zeros((_FRAMES, _TILE, _TILE, 3), np.float32)
+    for f_i in range(_FRAMES):
+        bx = (f_i % 8) * _TILE
+        by = (f_i // 8) * _TILE
+        table[f_i] = rgb[by : by + _TILE, bx : bx + _TILE]
+    return table
 
 
 def get_table() -> np.ndarray:

@@ -34,8 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e37
 
+
+def _pad128(a):
+    """Pad the trailing dim to a 128 multiple (DMA slice alignment)."""
+    pad = (-a.shape[-1]) % 128
+    if not pad:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+    )
+
+
 CLUSTER_SIZE = 128  # triangles per cluster (one lane tile)
 BLOCK_RAYS = 512  # rays per kernel program (4 sublane rows of 128)
+GROUP_CLUSTERS = 8  # clusters per mid-level AABB group (two-level culling)
 
 # Cluster data rows (SoA within a cluster): shape (n_clusters, C_ROWS, CS).
 C_V0X, C_V0Y, C_V0Z = 0, 1, 2
@@ -78,15 +90,107 @@ def build_cluster_data(scene):
     return cluster_tris, lo, hi
 
 
+def _slab_per_ray(origins, dirs, t_min, t_max, lo, hi):
+    """Per-ray slab test against M boxes: (hit (N, M), entry (N, M)).
+
+    Axes where the ray is (near-)parallel constrain nothing — forcing
+    them to the full interval keeps the cull conservative (a signless
+    1/eps fallback would wrongly reject real hits). Inverted boxes
+    (lo > hi on any axis: padding/empty) never hit.
+    """
+    n = origins.shape[1]
+    m = lo.shape[1]
+    t_lo = jnp.full((n, m), -jnp.inf)
+    t_hi = jnp.full((n, m), jnp.inf)
+    for c in range(3):
+        o = origins[c][:, None]
+        d = dirs[c]
+        par = (jnp.abs(d) <= 1e-12)[:, None]
+        idir = (1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0))[:, None]
+        ta = (lo[c][None, :] - o) * idir
+        tb = (hi[c][None, :] - o) * idir
+        t_lo = jnp.maximum(t_lo, jnp.where(par, -_BIG, jnp.minimum(ta, tb)))
+        t_hi = jnp.minimum(t_hi, jnp.where(par, _BIG, jnp.maximum(ta, tb)))
+    # Widen by a relative+absolute epsilon: triangles exactly on an AABB
+    # face must never be culled by slab rounding.
+    t_lo = t_lo - jnp.abs(t_lo) * 1e-5 - 1e-4
+    t_hi = t_hi + jnp.abs(t_hi) * 1e-5 + 1e-4
+    hit = (t_lo <= t_hi) & (t_hi >= t_min[:, None]) & (t_lo <= t_max[:, None])
+    box_ok = jnp.all(lo <= hi, axis=0)
+    hit = hit & box_ok[None, :]
+    entry = jnp.where(hit, jnp.maximum(t_lo, t_min[:, None]), _BIG)
+    return hit, entry
+
+
+def _slab_interval(o_lo, o_hi, d_lo, d_hi, tmin_lo, tmax_hi, lo, hi):
+    """Interval-arithmetic slab test: B ray *bundles* (each bounding all
+    of a block's live rays: origin box [o_lo, o_hi] (3, B), direction
+    box [d_lo, d_hi] (3, B), t in [tmin_lo, tmax_hi] (B,)) against M
+    boxes (3, M). Conservative: a bundle "hits" whenever ANY ray inside
+    its bounds could. Returns (hit (B, M), entry (B, M)).
+
+    This is the packet-frustum level of the two-level cull: it runs at
+    block granularity (512x fewer rows than per-ray), so testing every
+    cluster costs O(blocks x clusters).
+    """
+    b = o_lo.shape[1]
+    m = lo.shape[1]
+    t_lo = jnp.full((b, m), -jnp.inf)
+    t_hi = jnp.full((b, m), jnp.inf)
+    eps = 1e-12
+    for c in range(3):
+        # Direction interval spanning zero constrains nothing.
+        mixed = ((d_lo[c] <= eps) & (d_hi[c] >= -eps))[:, None]
+        safe_lo = jnp.where(jnp.abs(d_lo[c]) > eps, d_lo[c], 1.0)
+        safe_hi = jnp.where(jnp.abs(d_hi[c]) > eps, d_hi[c], 1.0)
+        inv_a = (1.0 / safe_lo)[:, None]
+        inv_b = (1.0 / safe_hi)[:, None]
+        # Numerator interval: box minus origin interval.
+        num_lo = lo[c][None, :] - o_hi[c][:, None]
+        num_hi = hi[c][None, :] - o_lo[c][:, None]
+        t1 = num_lo * inv_a
+        t2 = num_lo * inv_b
+        t3 = num_hi * inv_a
+        t4 = num_hi * inv_b
+        ax_lo = jnp.minimum(jnp.minimum(t1, t2), jnp.minimum(t3, t4))
+        ax_hi = jnp.maximum(jnp.maximum(t1, t2), jnp.maximum(t3, t4))
+        t_lo = jnp.maximum(t_lo, jnp.where(mixed, -_BIG, ax_lo))
+        t_hi = jnp.minimum(t_hi, jnp.where(mixed, _BIG, ax_hi))
+    t_lo = t_lo - jnp.abs(t_lo) * 1e-5 - 1e-4
+    t_hi = t_hi + jnp.abs(t_hi) * 1e-5 + 1e-4
+    hit = (
+        (t_lo <= t_hi)
+        & (t_hi >= tmin_lo[:, None])
+        & (t_lo <= tmax_hi[:, None])
+    )
+    box_ok = jnp.all(lo <= hi, axis=0)
+    dead = o_lo[0] > o_hi[0]  # no live rays in the block
+    hit = hit & box_ok[None, :] & ~dead[:, None]
+    entry = jnp.where(hit, jnp.maximum(t_lo, tmin_lo[:, None]), _BIG)
+    return hit, entry
+
+
 def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
                       block_rays: int, bias_max=0.0):
-    """Per-ray-block compacted cluster visit lists (XLA pre-pass).
+    """Per-ray-block compacted cluster visit lists — the TWO-LEVEL
+    XLA pre-pass (the BLAS/TLAS traversal-cull analog of the driver BVH,
+    contrib/nv_helpers_dx12/{Bottom,Top}LevelASGenerator.cpp).
 
-    Visit lists are sorted FRONT-TO-BACK by the block's conservative
-    cluster entry distance (min over the block's rays of the slab entry
-    t), which is what lets the kernel's while-loop terminate as soon as
-    the next cluster's entry lies beyond every ray's current best hit —
-    the packet analog of ordered BVH traversal.
+    Level 1: every ray slab-tests the GROUP AABBs (GROUP_CLUSTERS
+    Morton-adjacent clusters per group) — O(rays x groups), 8x cheaper
+    than per-cluster and the only O(rays x boxes) term.
+    Level 2: each 512-ray block's interval bounds (origin box,
+    direction box, t range over its live rays) slab-test every cluster
+    — O(blocks x clusters), 512x cheaper per row than level 1.
+    A cluster is visited iff its group passes level 1 for the block AND
+    it passes level 2; both levels are conservative so the visit set is
+    a superset of the exact per-ray x cluster test.
+
+    Visit lists are sorted FRONT-TO-BACK by the conservative entry
+    distance (max of the two levels' lower bounds), which is what lets
+    the kernel's while-loop terminate as soon as the next cluster's
+    entry lies beyond every ray's current best hit — the packet analog
+    of ordered BVH traversal.
 
     Returns (visits (n_blocks, nc) int32 cluster ids front-to-back,
     padded with nc; counts (n_blocks,); entry (n_blocks, nc) f32
@@ -96,57 +200,92 @@ def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
     n = origins.shape[1]
     nc = aabb_lo.shape[1]
     assert n % block_rays == 0
-
-    # Slab test per (ray, cluster): planar components. Axes where the
-    # ray is (near-)parallel constrain nothing — forcing them to the
-    # full interval keeps the cull conservative (a signless 1/eps
-    # fallback would wrongly reject real hits).
-    t_lo = jnp.full((n, nc), -jnp.inf)
-    t_hi = jnp.full((n, nc), jnp.inf)
-    for c in range(3):
-        o = origins[c][:, None]
-        d = dirs[c]
-        par = (jnp.abs(d) <= 1e-12)[:, None]
-        idir = (1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0))[:, None]
-        ta = (aabb_lo[c][None, :] - o) * idir
-        tb = (aabb_hi[c][None, :] - o) * idir
-        t_lo = jnp.maximum(t_lo, jnp.where(par, -_BIG, jnp.minimum(ta, tb)))
-        t_hi = jnp.minimum(t_hi, jnp.where(par, _BIG, jnp.maximum(ta, tb)))
-    # Widen by a relative+absolute epsilon: triangles exactly on an AABB
-    # face must never be culled by slab rounding.
-    t_lo = t_lo - jnp.abs(t_lo) * 1e-5 - 1e-4
-    t_hi = t_hi + jnp.abs(t_hi) * 1e-5 + 1e-4
-    hit = (t_lo <= t_hi) & (t_hi >= t_min[:, None]) & (t_lo <= t_max[:, None])
-    # Inactive clusters carry an inverted AABB (lo=+BIG, hi=-BIG); the
-    # per-axis min/max above would silently un-invert it into an
-    # infinite box, so mask them out explicitly.
-    box_ok = jnp.all(aabb_lo <= aabb_hi, axis=0)
-    hit = hit & box_ok[None, :]
-
     n_blocks = n // block_rays
-    block_hit = hit.reshape(n_blocks, block_rays, nc).any(axis=1)
+
+    # Pad clusters to a group multiple with inverted (never-hit) boxes.
+    g = GROUP_CLUSTERS
+    pad = (-nc) % g
+    if pad:
+        lo_p = jnp.concatenate(
+            [aabb_lo, jnp.full((3, pad), _BIG, aabb_lo.dtype)], axis=1
+        )
+        hi_p = jnp.concatenate(
+            [aabb_hi, jnp.full((3, pad), -_BIG, aabb_hi.dtype)], axis=1
+        )
+    else:
+        lo_p, hi_p = aabb_lo, aabb_hi
+    nc_p = nc + pad
+    ng = nc_p // g
+
+    # Group AABBs (min/max ignore inverted pads unless the whole group
+    # is padding, in which case the group box stays inverted).
+    gr_lo = lo_p.reshape(3, ng, g).min(axis=2)
+    gr_hi = hi_p.reshape(3, ng, g).max(axis=2)
+
+    # Level 1: per-ray x group.
+    hit_g, entry_g = _slab_per_ray(origins, dirs, t_min, t_max, gr_lo, gr_hi)
+    block_hit_g = hit_g.reshape(n_blocks, block_rays, ng).any(axis=1)
+    block_entry_g = entry_g.reshape(n_blocks, block_rays, ng).min(axis=1)
+
+    # Level 2: block interval bounds x cluster. Dead rays (empty t
+    # interval) are excluded from the bounds so sky-masked rays don't
+    # inflate the bundle.
+    live = t_max >= t_min
+    big = jnp.float32(_BIG)
+    o_live = jnp.where(live[None, :], origins, big)
+    o_lo = o_live.reshape(3, n_blocks, block_rays).min(axis=2)
+    o_hi = jnp.where(live[None, :], origins, -big).reshape(
+        3, n_blocks, block_rays
+    ).max(axis=2)
+    d_lo = jnp.where(live[None, :], dirs, big).reshape(
+        3, n_blocks, block_rays
+    ).min(axis=2)
+    d_hi = jnp.where(live[None, :], dirs, -big).reshape(
+        3, n_blocks, block_rays
+    ).max(axis=2)
+    tmin_lo = jnp.where(live, t_min, big).reshape(n_blocks, block_rays).min(axis=1)
+    tmax_hi = jnp.where(live, t_max, -big).reshape(n_blocks, block_rays).max(axis=1)
+    hit_c, entry_c = _slab_interval(
+        o_lo, o_hi, d_lo, d_hi, tmin_lo, tmax_hi, lo_p, hi_p
+    )
+
+    # Combine: expand groups to clusters, take the tighter entry bound.
+    expand = lambda a: jnp.repeat(a, g, axis=1)
+    block_hit = expand(block_hit_g) & hit_c
+    entry_b = jnp.maximum(expand(block_entry_g), entry_c)
+
     counts = block_hit.sum(axis=1).astype(jnp.int32)
-    # Block entry distance: min over rays of the (clamped) slab entry.
-    entry_r = jnp.where(hit, jnp.maximum(t_lo, t_min[:, None]), _BIG)
-    block_entry = entry_r.reshape(n_blocks, block_rays, nc).min(axis=1)
-    key = jnp.where(block_hit, block_entry, _BIG)
+    key = jnp.where(block_hit, entry_b, _BIG)
     # Front-to-back compaction; pad with nc (an always-empty slot).
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     visits = jnp.where(
-        jnp.arange(nc)[None, :] < counts[:, None], order, nc
+        jnp.arange(nc_p)[None, :] < counts[:, None], order, nc
     ).astype(jnp.int32)
     entry = jnp.take_along_axis(key, order, axis=1) - bias_max
-    return visits, counts, entry
+    # Padded cluster ids never hit, so the tail slice is pure padding.
+    return visits[:, :nc], counts, entry[:, :nc]
 
 
-def _kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm, t_ref,
-            tri_ref, scratch, sems, *, cull_backface: bool, nc: int):
+def _kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm, t_ref,
+            tri_ref, ivals_ref, entry_ref, vsems, scratch, sems, *,
+            cull_backface: bool, nc: int):
     """Ordered packet traversal: clusters arrive front-to-back and the
     walk stops once the next cluster's conservative entry distance lies
     beyond every ray's current best hit (packet early-out, the analog of
-    ordered BVH traversal with t-max shrinking)."""
+    ordered BVH traversal with t-max shrinking).
+
+    The visit tables live in HBM (scalar-prefetching the full
+    (blocks, nc) tables overflows SMEM at real scene scales); each
+    program DMAs ITS block's row into SMEM scratch first. ivals packs
+    [count, visit ids...] so count+visits ride one DMA."""
     b = pl.program_id(0)
-    count = counts_ref[b]
+    row_i = pltpu.make_async_copy(ivals_hbm.at[b], ivals_ref, vsems.at[0])
+    row_e = pltpu.make_async_copy(entry_hbm.at[b], entry_ref, vsems.at[1])
+    row_i.start()
+    row_e.start()
+    row_i.wait()
+    row_e.wait()
+    count = ivals_ref[0, 0]
 
     ox = rays_ref[0].reshape(BLOCK_RAYS, 1)
     oy = rays_ref[1].reshape(BLOCK_RAYS, 1)
@@ -158,7 +297,7 @@ def _kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm, t_ref,
     tmax = rays_ref[7].reshape(BLOCK_RAYS, 1)
 
     def cluster_dma(slot, i):
-        cid = visits_ref[b, i]
+        cid = ivals_ref[0, 1 + i]
         return pltpu.make_async_copy(
             cluster_hbm.at[cid], scratch.at[slot], sems.at[slot]
         )
@@ -169,7 +308,7 @@ def _kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm, t_ref,
 
     def cond(carry):
         i, worst, _, _ = carry
-        return (i < count) & (entry_ref[b, jnp.minimum(i, nc - 1)] <= worst)
+        return (i < count) & (entry_ref[0, jnp.minimum(i, nc - 1)] <= worst)
 
     def body(carry):
         i, worst, t_best, tri_best = carry
@@ -181,7 +320,7 @@ def _kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm, t_ref,
 
         cluster_dma(slot, i).wait()
         tri = scratch[slot]  # (C_ROWS, CS)
-        cid = visits_ref[b, i]
+        cid = ivals_ref[0, 1 + i]
 
         v0x = tri[C_V0X][None, :]
         v0y = tri[C_V0Y][None, :]
@@ -260,35 +399,40 @@ def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
     n = rays8.shape[1]
     n_blocks = n // BLOCK_RAYS
     nc = cluster_tris.shape[0]
-    kern = functools.partial(_kernel, cull_backface=cull_backface, nc=nc)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    nv = visits.shape[1]
+    kern = functools.partial(_kernel, cull_backface=cull_backface, nc=nv)
+    # DMA row slices must be 128-aligned in the trailing dim.
+    ivals = _pad128(jnp.concatenate([counts[:, None], visits], axis=1))[:, None]
+    entries = _pad128(entries)[:, None]
+    t, tri = pl.pallas_call(
+        kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK_RAYS), lambda b, *_: (0, b),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ivals rows
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # entry rows
+            pl.BlockSpec((8, BLOCK_RAYS), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # clusters stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # clusters stay in HBM
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                         lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                         lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
+            pltpu.SMEM((1, ivals.shape[2]), jnp.int32),
+            pltpu.SMEM((1, entries.shape[2]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    t, tri = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(counts, visits, entries, rays8, cluster_tris)
+    )(ivals, entries, rays8, cluster_tris)
     return t.reshape(n), tri.reshape(n)
 
 
@@ -361,15 +505,23 @@ def make_opaque_fn(interpret: bool = False):
     return opaque_fn
 
 
-def _shadow_kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm,
-                   out_ref, scratch, sems, *, nc: int):
+def _shadow_kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm,
+                   out_ref, ivals_ref, entry_ref, vsems, scratch, sems, *,
+                   nc: int):
     """Any-hit occlusion kernel: early-exits the cluster walk once every
     ray in the block is blocked (the ACCEPT_FIRST_HIT_AND_END_SEARCH
     analog, Lights.hlsli:43), or once the next front-to-back cluster
     starts beyond every unblocked ray's t_max. Backface culling off
-    (SKIP_BACKFACE_SHADOWS undefined)."""
+    (SKIP_BACKFACE_SHADOWS undefined). Visit tables arrive via
+    per-block HBM->SMEM row DMA (see _kernel)."""
     b = pl.program_id(0)
-    count = counts_ref[b]
+    row_i = pltpu.make_async_copy(ivals_hbm.at[b], ivals_ref, vsems.at[0])
+    row_e = pltpu.make_async_copy(entry_hbm.at[b], entry_ref, vsems.at[1])
+    row_i.start()
+    row_e.start()
+    row_i.wait()
+    row_e.wait()
+    count = ivals_ref[0, 0]
 
     ox = rays_ref[0].reshape(BLOCK_RAYS, 1)
     oy = rays_ref[1].reshape(BLOCK_RAYS, 1)
@@ -381,7 +533,7 @@ def _shadow_kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm,
     tmax = rays_ref[7].reshape(BLOCK_RAYS, 1)
 
     def cluster_dma(slot, i):
-        cid = visits_ref[b, i]
+        cid = ivals_ref[0, 1 + i]
         return pltpu.make_async_copy(
             cluster_hbm.at[cid], scratch.at[slot], sems.at[slot]
         )
@@ -395,7 +547,7 @@ def _shadow_kernel(counts_ref, visits_ref, entry_ref, rays_ref, cluster_hbm,
         return (
             (i < count)
             & (blocked_n < float(BLOCK_RAYS))
-            & (entry_ref[b, jnp.minimum(i, nc - 1)] <= worst)
+            & (entry_ref[0, jnp.minimum(i, nc - 1)] <= worst)
         )
 
     def body(carry):
@@ -466,31 +618,34 @@ def _shadow_pallas_impl(rays8, cluster_tris, visits, counts, entries,
                         interpret: bool):
     n = rays8.shape[1]
     n_blocks = n // BLOCK_RAYS
-    nc = cluster_tris.shape[0]
-    kern = functools.partial(_shadow_kernel, nc=nc)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    nv = visits.shape[1]
+    kern = functools.partial(_shadow_kernel, nc=nv)
+    ivals = _pad128(jnp.concatenate([counts[:, None], visits], axis=1))[:, None]
+    entries = _pad128(entries)[:, None]
+    blocked = pl.pallas_call(
+        kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK_RAYS), lambda b, *_: (0, b),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((8, BLOCK_RAYS), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                               lambda b, *_: (b, 0, 0),
+                               lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.SMEM((1, ivals.shape[2]), jnp.int32),
+            pltpu.SMEM((1, entries.shape[2]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    blocked = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128),
                                        jnp.int32),
         interpret=interpret,
-    )(counts, visits, entries, rays8, cluster_tris)
+    )(ivals, entries, rays8, cluster_tris)
     return blocked.reshape(n)
 
 
