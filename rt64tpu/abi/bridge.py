@@ -395,6 +395,12 @@ def create_instance(scene):
     return h
 
 
+def set_instance_alt_texture(instance, texture):
+    """RT64_SetInstanceAltTexture (TPU extension): bind a real TEXEL1
+    texture; 0/NULL unbinds back to the reference's magenta stub."""
+    _get(instance).set_alt_texture(_get(texture) if texture else None)
+
+
 def set_instance_description(instance, desc_addr):
     c = _at(CInstanceDesc, desc_addr)
 
@@ -427,29 +433,99 @@ def destroy_instance(instance):
 
 # ---- inspector ----------------------------------------------------------------
 
+# snake_case (descriptor field) -> C struct field, where plain
+# camel-casing doesn't match.
+_CAMEL_OVERRIDES = {
+    "ambient_no_gi_color": "ambientNoGIColor",
+    "sky_hsl_modifier": "skyHSLModifier",
+}
+
+
+def _camel(snake: str) -> str:
+    if snake in _CAMEL_OVERRIDES:
+        return _CAMEL_OVERRIDES[snake]
+    head, *rest = snake.split("_")
+    return head + "".join(p.capitalize() for p in rest)
+
+
+class _CProxy:
+    """Live snake_case view over a ctypes struct in HOST memory.
+
+    The reference's inspector panels mutate the host's registered
+    RT64_MATERIAL / RT64_LIGHT / RT64_SCENE_DESC structs in place
+    (rt64_inspector.cpp:226-353); this proxy gives Inspector.command
+    the same write-through semantics — an edit lands in host memory and
+    the host's next per-frame descriptor push carries it into the frame.
+    """
+
+    __slots__ = ("_c",)
+
+    def __init__(self, cstruct):
+        object.__setattr__(self, "_c", cstruct)
+
+    def field_names(self):
+        import re as _re
+
+        inv = {v: k for k, v in _CAMEL_OVERRIDES.items()}
+        return [
+            inv.get(c, _re.sub(r"(?<!^)(?=[A-Z])", "_", c).lower())
+            for c, _ in type(self._c)._fields_
+        ]
+
+    def __getattr__(self, snake):
+        val = getattr(self._c, _camel(snake))
+        if isinstance(val, (Vec3, Vec4)):
+            return val.tup()
+        return val
+
+    def __setattr__(self, snake, value):
+        camel = _camel(snake)
+        cur = getattr(self._c, camel)
+        if isinstance(cur, Vec3):
+            cur.x, cur.y, cur.z = (float(v) for v in value)
+        elif isinstance(cur, Vec4):
+            cur.x, cur.y, cur.z, cur.w = (float(v) for v in value)
+        else:
+            setattr(self._c, camel, value)
+
+
 def create_inspector(device):
     return _register(rt64tpu.Inspector(_get(device)))
 
 
+# Message code for the headless command protocol (the WndProc-forwarding
+# analog, rt64_inspector.cpp:461-465): wParam = address of a
+# NUL-terminated command string, lParam = address of a reply buffer
+# (>= RT64TPU_INSPECTOR_REPLY_SIZE bytes) or 0 for no reply.
+RT64TPU_MESSAGE_COMMAND = 0x7464
+RT64TPU_INSPECTOR_REPLY_SIZE = 256
+
+
 def handle_message_inspector(inspector, msg, wparam, lparam):
-    del inspector, msg, wparam, lparam
-    return 0
+    if int(msg) != RT64TPU_MESSAGE_COMMAND or not wparam:
+        return 0
+    cmd = ctypes.string_at(int(wparam)).decode("utf-8", "replace")
+    reply = _get(inspector).command(cmd)
+    if lparam:
+        data = reply.encode("utf-8")[: RT64TPU_INSPECTOR_REPLY_SIZE - 1]
+        ctypes.memmove(int(lparam), data + b"\x00", len(data) + 1)
+    return 1
 
 
 def set_scene_inspector(inspector, desc_addr):
-    _get(inspector).set_scene(_at(CSceneDesc, desc_addr).to_py())
+    _get(inspector).set_scene(_CProxy(_at(CSceneDesc, desc_addr)))
 
 
 def set_material_inspector(inspector, material_addr, name_addr):
     name = ctypes.string_at(int(name_addr)).decode("utf-8", "replace")
-    _get(inspector).set_material(_at(CMaterial, material_addr).to_py(), name)
+    _get(inspector).set_material(_CProxy(_at(CMaterial, material_addr)), name)
 
 
 def set_lights_inspector(inspector, lights_addr, count_addr, max_count):
     count = ctypes.c_int.from_address(int(count_addr)).value
     arr = (CLight * count).from_address(int(lights_addr))
     _get(inspector).set_lights(
-        [arr[i].to_py() for i in range(count)], count, int(max_count)
+        [_CProxy(arr[i]) for i in range(count)], count, int(max_count)
     )
 
 

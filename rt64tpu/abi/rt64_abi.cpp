@@ -14,6 +14,8 @@
 
 #include <Python.h>
 
+#include <dlfcn.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <mutex>
@@ -69,6 +71,34 @@ bool ensure_bridge() {
         PyEval_SaveThread();
     }
     Gil gil;
+    /* The rt64tpu package root is two directories above this shared
+     * library (<root>/rt64tpu/abi/librt64tpu.so); prepend it to
+     * sys.path so the import works regardless of cwd/PYTHONPATH —
+     * the analog of the reference DLL resolving its own resources
+     * relative to the module handle. */
+    Dl_info info;
+    if (dladdr(reinterpret_cast<void *>(&ensure_bridge), &info) != 0 &&
+        info.dli_fname != nullptr) {
+        std::string root(info.dli_fname);
+        for (int up = 0; up < 3; ++up) {
+            size_t slash = root.find_last_of('/');
+            if (slash == std::string::npos) {
+                root.clear();
+                break;
+            }
+            root.resize(slash);
+        }
+        if (!root.empty()) {
+            PyObject *sys_path = PySys_GetObject("path");  /* borrowed */
+            PyObject *entry = PyUnicode_FromString(root.c_str());
+            if (sys_path != nullptr && entry != nullptr &&
+                PySequence_Contains(sys_path, entry) == 0) {
+                PyList_Insert(sys_path, 0, entry);
+            }
+            Py_XDECREF(entry);
+            PyErr_Clear();
+        }
+    }
     PyObject *mod = PyImport_ImportModule("rt64tpu.abi.bridge");
     if (mod == nullptr) {
         capture_py_error();
@@ -234,6 +264,11 @@ void RT64_SetInstanceDescription(RT64_INSTANCE *instance,
 
 void RT64_DestroyInstance(RT64_INSTANCE *instance) {
     call_bridge("destroy_instance", {ptr(instance)});
+}
+
+void RT64_SetInstanceAltTexture(RT64_INSTANCE *instance,
+                                RT64_TEXTURE *texture) {
+    call_bridge("set_instance_alt_texture", {ptr(instance), ptr(texture)});
 }
 
 RT64_TEXTURE *RT64_CreateTexture(RT64_DEVICE *device, RT64_TEXTURE_DESC desc) {

@@ -228,11 +228,30 @@ RT64_INSTANCE *RT64_CreateInstance(RT64_SCENE *scene);
 void RT64_SetInstanceDescription(RT64_INSTANCE *instance,
                                  RT64_INSTANCE_DESC instanceDesc);
 void RT64_DestroyInstance(RT64_INSTANCE *instance);
+/* TPU extension (additive; absent from rt64.h): binds a real TEXEL1
+ * texture where the reference stubs TEXEL1 samples to magenta
+ * (rt64_shader.cpp:484-487). NULL unbinds (restores stub parity).
+ * Sticky across RT64_SetInstanceDescription calls. */
+void RT64_SetInstanceAltTexture(RT64_INSTANCE *instance,
+                                RT64_TEXTURE *texture);
 
 RT64_TEXTURE *RT64_CreateTexture(RT64_DEVICE *device, RT64_TEXTURE_DESC desc);
 void RT64_DestroyTexture(RT64_TEXTURE *texture);
 
 RT64_INSPECTOR *RT64_CreateInspector(RT64_DEVICE *device);
+
+/* Headless inspector command protocol (the WndProc/ImGui-panel analog,
+ * rt64_inspector.cpp:115-353, 461-465). Send msg=RT64TPU_MESSAGE_COMMAND
+ * with wParam = (uintptr_t)"command string" and lParam = (intptr_t) a
+ * char reply buffer of RT64TPU_INSPECTOR_REPLY_SIZE bytes (or 0).
+ * Commands: "get ns.field" / "set ns.field v [v2 v3 v4]" / "list ns" /
+ * "camera move dx dy dz" / "camera rotate yaw pitch" / "gizmos on|off" /
+ * "dump path|off" / "print msg". Namespaces: material (the struct
+ * registered via RT64_SetMaterialInspector — edits WRITE INTO that host
+ * struct), scene, light.<i>, view. Returns true when handled; replies
+ * start with "ERR " on failure. */
+#define RT64TPU_MESSAGE_COMMAND 0x7464u
+#define RT64TPU_INSPECTOR_REPLY_SIZE 256
 bool RT64_HandleMessageInspector(RT64_INSPECTOR *inspector, unsigned int msg,
                                  unsigned long wParam, long lParam);
 void RT64_SetSceneInspector(RT64_INSPECTOR *inspector, RT64_SCENE_DESC *sceneDesc);

@@ -287,10 +287,21 @@ class Instance:
     def __init__(self, scene: Scene):
         self.scene = scene
         self.desc = d.InstanceDesc()
+        self._alt_texture = None  # sticky TEXEL1 binding (TPU extension)
         scene.instances.append(self)
 
     def set_description(self, desc: d.InstanceDesc):
+        if desc.alt_texture is None and self._alt_texture is not None:
+            desc.alt_texture = self._alt_texture
         self.desc = desc
+
+    def set_alt_texture(self, texture):
+        """Bind the TEXEL1 texture (TPU extension; sticky across
+        set_description calls, mirroring how hosts re-push descriptors
+        every frame). None unbinds — TEXEL1 then falls back to the
+        reference's magenta stub (rt64_shader.cpp:484-487)."""
+        self._alt_texture = texture
+        self.desc.alt_texture = texture
 
     def destroy(self):
         self.scene.instances.remove(self)
@@ -454,6 +465,164 @@ class Inspector:
 
     def print_message(self, message: str):
         self.messages.append(message)
+
+    # -- live parameter editing (the ImGui-panel analog) --------------------
+    #
+    # The reference's inspector panels mutate the registered view/scene/
+    # material/light state in place (rt64_inspector.cpp:115-353); the
+    # headless analog is a small textual command protocol applied to the
+    # same registered refs. Commands (whitespace-separated):
+    #
+    #   get <ns>.<field>                 -> current value
+    #   set <ns>.<field> <v> [v2 v3 v4]  -> assign (tuples space-separated)
+    #   list <ns>                        -> field names
+    #   camera move <dx> <dy> <dz>       -> View.move_perspective
+    #   camera rotate <yaw> <pitch>      -> View.rotate_perspective
+    #   gizmos on|off / dump <path>|off / print <msg>
+    #
+    # Namespaces: material (set_material ref), scene (set_scene ref),
+    # light.<i> (set_lights ref), view (every view's live params).
+    # Edits land in the registered objects — for ABI hosts those are
+    # ctypes proxies over HOST memory, so the next frame's descriptor
+    # push picks them up exactly like the reference's in-place panels.
+
+    # View-level attributes; everything else under view.* resolves into
+    # the per-frame ViewDesc (resolution_scale, di/gi_samples, max_lights,
+    # motion_blur_strength, upscaler, upscaler_mode, upscaler_sharpness,
+    # denoiser_enabled) — the same split as RT64_VIEW_DESC vs View state.
+    _VIEW_ATTRS = ("max_reflections", "visualization_mode",
+                   "pipelined_present", "can_reproject")
+
+    def command(self, cmd: str) -> str:
+        try:
+            return self._command(cmd)
+        except Exception as exc:  # noqa: BLE001 — boundary surface
+            return f"ERR {exc}"
+
+    def _views(self):
+        return [v for s in self.device.scenes for v in s.views]
+
+    def _resolve(self, path: str):
+        """path 'ns.field' or 'light.N.field' -> (obj, field)."""
+        parts = path.split(".")
+        ns = parts[0]
+        if ns == "material":
+            if self.material_ref is None:
+                raise ValueError("no material registered")
+            return self.material_ref, parts[1]
+        if ns == "scene":
+            if self.scene_desc_ref is None:
+                raise ValueError("no scene desc registered")
+            return self.scene_desc_ref, parts[1]
+        if ns == "light":
+            if self.lights_ref is None:
+                raise ValueError("no lights registered")
+            lights, count, _ = self.lights_ref
+            i = int(parts[1])
+            if not 0 <= i < count:
+                raise ValueError(f"light index {i} out of range {count}")
+            return lights[i], parts[2]
+        if ns == "view":
+            views = self._views()
+            if not views:
+                raise ValueError("no views")
+            field = parts[1]
+            if field in self._VIEW_ATTRS:
+                return views, field  # list marker: apply to all
+            import dataclasses as _dc
+
+            if field in {f.name for f in _dc.fields(views[0].desc)}:
+                return [v.desc for v in views], field
+            raise ValueError(f"unknown view field {field}")
+        raise ValueError(f"unknown namespace {ns}")
+
+    @staticmethod
+    def _fmt(val) -> str:
+        if isinstance(val, (tuple, list)):
+            return " ".join(f"{v:g}" if isinstance(v, float) else str(v)
+                            for v in val)
+        if isinstance(val, float):
+            return f"{val:g}"
+        if isinstance(val, bool):
+            return "1" if val else "0"
+        return str(val)
+
+    @staticmethod
+    def _parse(old, args):
+        def one(ref, s):
+            if isinstance(ref, bool):
+                return s.lower() in ("1", "true", "on", "yes")
+            if isinstance(ref, int):
+                return int(s, 0)
+            return float(s)
+
+        if isinstance(old, (tuple, list)):
+            if len(args) != len(old):
+                raise ValueError(f"expected {len(old)} values")
+            return tuple(one(o, a) for o, a in zip(old, args))
+        if len(args) != 1:
+            raise ValueError("expected 1 value")
+        return one(old, args[0])
+
+    def _command(self, cmd: str) -> str:
+        toks = cmd.strip().split()
+        if not toks:
+            return "ERR empty command"
+        op = toks[0].lower()
+        if op == "print":
+            self.print_message(cmd.split(None, 1)[1] if len(toks) > 1 else "")
+            return "OK"
+        if op == "gizmos":
+            self.show_light_gizmos = len(toks) > 1 and toks[1] == "on"
+            return "OK"
+        if op == "dump":
+            self.dump_path = None if (len(toks) < 2 or toks[1] == "off") else toks[1]
+            return "OK"
+        if op == "camera":
+            views = self._views()
+            if toks[1] == "move":
+                delta = tuple(float(t) for t in toks[2:5])
+                for v in views:
+                    v.move_perspective(delta)
+            elif toks[1] == "rotate":
+                yaw, pitch = float(toks[2]), float(toks[3])
+                for v in views:
+                    v.rotate_perspective(yaw, pitch)
+            else:
+                raise ValueError(f"unknown camera op {toks[1]}")
+            return "OK"
+        if op == "list":
+            ns = toks[1]
+            if ns == "view":
+                import dataclasses as _dc
+
+                views = self._views()
+                desc_fields = (
+                    [f.name for f in _dc.fields(views[0].desc)] if views else []
+                )
+                return " ".join(list(self._VIEW_ATTRS) + desc_fields)
+            probe = {"material": self.material_ref,
+                     "scene": self.scene_desc_ref}.get(ns)
+            if ns == "light":
+                probe = self.lights_ref[0][0] if self.lights_ref else None
+            if probe is None:
+                raise ValueError(f"nothing registered for {ns}")
+            import dataclasses as _dc
+
+            if _dc.is_dataclass(probe):
+                return " ".join(f.name for f in _dc.fields(probe))
+            return " ".join(getattr(probe, "field_names", lambda: [])())
+        if op in ("get", "set"):
+            obj, field = self._resolve(toks[1])
+            targets = obj if isinstance(obj, list) else [obj]
+            if op == "get":
+                return self._fmt(getattr(targets[0], field))
+            old = getattr(targets[0], field)
+            val = self._parse(old, toks[2:])
+            for t in targets:
+                setattr(t, field, val)
+            return "OK"
+        raise ValueError(f"unknown op {op}")
 
     def render(self):
         if self.show_light_gizmos:

@@ -239,6 +239,12 @@ class InstanceDesc:
     diffuse_texture: Optional[object] = None
     normal_texture: Optional[object] = None
     specular_texture: Optional[object] = None
+    # TPU extension: second combiner texture (TEXEL1). The reference
+    # has no binding slot for it and stubs TEXEL1 samples to magenta
+    # (rt64_shader.cpp:484-487); binding one here makes TEXEL1
+    # combiners sample it for real. None preserves the magenta parity
+    # behavior. Set via RT64_SetInstanceAltTexture at the C ABI.
+    alt_texture: Optional[object] = None
     shader: Optional[object] = None
     material: Material = field(default_factory=Material)
     scissor_rect: Optional[Tuple[int, int, int, int]] = None

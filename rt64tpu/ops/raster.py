@@ -169,10 +169,21 @@ def _rasterize_all(
             jnp.broadcast_to(rec_d, uv_u.shape), uv_u, uv_v,
             filt, h_addr, v_addr,
         )
-        tex1 = jnp.stack(
+        # TEXEL1: real second binding when set (TPU extension), else the
+        # reference's magenta stub (rt64_shader.cpp:484-487).
+        magenta = jnp.stack(
             [jnp.ones_like(uv_u), jnp.zeros_like(uv_u), jnp.ones_like(uv_u),
              jnp.ones_like(uv_u)], 0,
         )
+        rec_d2 = jnp.where(
+            fl(R.F_USE_T1), irow[R.I_TEX_D2].astype(jnp.int32), -1
+        )
+        tex1_samp = tex_ops.sample_quad(
+            quad_pool, quad_records,
+            jnp.broadcast_to(rec_d2, uv_u.shape), uv_u, uv_v,
+            filt, h_addr, v_addr,
+        )
+        tex1 = jnp.where(rec_d2 >= 0, tex1_samp, magenta)
         cc_items = jnp.broadcast_to(
             R.unpack_cc(irow[R.I_CC], jnp)[:, None], (8, n)
         )

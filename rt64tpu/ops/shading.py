@@ -60,9 +60,6 @@ def shade_hits(
     v = bary_v
     w0 = 1.0 - u - v
 
-    def corner(base, k):
-        return gt[base + 3 * k : base + 3 * k + 3] if False else None
-
     p0 = gt[R.T_P0 : R.T_P0 + 3]
     p1 = gt[R.T_P1 : R.T_P1 + 3]
     p2 = gt[R.T_P2 : R.T_P2 + 3]
@@ -128,9 +125,25 @@ def shade_hits(
         tex0 = jnp.concatenate(
             [tex0[:3] * (1.0 - neg)[None] + mix_rgb * neg[None], tex0[3:4]], 0
         )
-    # TEXEL1 stub (rt64_shader.cpp:484-487).
-    tex1 = jnp.stack(
+    # TEXEL1: a real second texture binding (TPU extension) where the
+    # reference stubs it to magenta (rt64_shader.cpp:484-487).
+    # Instances without an alt texture keep the magenta parity value;
+    # the fetch skips at runtime when no hit in the batch binds one.
+    magenta = jnp.stack(
         [jnp.ones_like(u), jnp.zeros_like(u), jnp.ones_like(u), jnp.ones_like(u)], 0
+    )
+    use_t1 = fl(R.F_USE_T1)
+    rec_d2 = jnp.where(use_t1 & valid, gt[R.T_TEX_D2].astype(jnp.int32), -1)
+
+    def t1_eval(_):
+        samp = tex_ops.sample_quad(
+            sb.quad_pool, sb.quad_records, rec_d2, uv_u, uv_v, filt,
+            h_addr, v_addr,
+        )
+        return jnp.where((rec_d2 >= 0)[None], samp, magenta)
+
+    tex1 = jax.lax.cond(
+        jnp.any(rec_d2 >= 0), t1_eval, lambda _: magenta, None
     )
 
     color = combiner_eval_planar(
@@ -321,6 +334,7 @@ def build_tri_rows(sb):
     parts.append(it[R.I_SAMPLER][None])
     parts.append(it[R.I_ELIG : R.I_ELIG + R.MAX_ELIG_LIGHTS])
     parts.append(it[R.I_INPUT_COUNT][None])
+    parts.append(it[R.I_TEX_D2][None])
     rows_t = jnp.concatenate(parts, axis=0)
     pad = R.TROW - rows_t.shape[0]
     assert pad >= 0, rows_t.shape

@@ -48,7 +48,8 @@ I_ELIG = 67  # 16: per-light-slot eligibility (group mask & light bits)
 I_INPUT_COUNT = 83
 I_VIEWPORT = 84  # 4: x, y, w, h (0 w/h = full target) — raster path
 I_SCISSOR = 88  # 4: x, y, w, h (0 w/h = disabled)
-IROW = 92
+I_TEX_D2 = 92  # TEXEL1 quad-pool record id (or -1) — TPU extension
+IROW = 93
 
 # material float sub-layout (relative to I_MAT / T_MAT)
 M_IGNORE_NORMAL = 0
@@ -108,6 +109,9 @@ T_TEX_S = 90
 T_SAMPLER = 91
 T_ELIG = 92  # 16
 T_INPUT_COUNT = 108
+T_TEX_D2 = 109  # TEXEL1 record id — a real second texture binding
+                # where the reference stubs TEXEL1 to magenta
+                # (rt64_shader.cpp:484-487)
 TROW = 112
 
 MAX_ELIG_LIGHTS = 16  # MAX_LIGHTS (Lights.hlsli:24)

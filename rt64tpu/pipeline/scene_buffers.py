@@ -104,7 +104,7 @@ class ScenePacker:
             if sh is None:
                 continue
             for tex in (inst.desc.diffuse_texture, inst.desc.normal_texture,
-                        inst.desc.specular_texture):
+                        inst.desc.specular_texture, inst.desc.alt_texture):
                 if tex is None:
                     continue
                 key = (id(tex), sh.h_addr, sh.v_addr)
@@ -247,6 +247,7 @@ class ScenePacker:
         irows[:, R.I_TEX_D] = -1
         irows[:, R.I_TEX_N] = -1
         irows[:, R.I_TEX_S] = -1
+        irows[:, R.I_TEX_D2] = -1
 
         for ii, inst in enumerate(instances[:I]):
             de = inst.desc
@@ -319,6 +320,7 @@ class ScenePacker:
                 irows[ii, R.I_TEX_D] = rec_id(de.diffuse_texture)
                 irows[ii, R.I_TEX_N] = rec_id(de.normal_texture)
                 irows[ii, R.I_TEX_S] = rec_id(de.specular_texture)
+                irows[ii, R.I_TEX_D2] = rec_id(de.alt_texture)
 
             if de.viewport_rect is not None:
                 irows[ii, R.I_VIEWPORT : R.I_VIEWPORT + 4] = de.viewport_rect

@@ -96,3 +96,55 @@ def test_mesh_upload_through_bridge():
     assert mesh.indices.shape == (1, 3)
     bridge.destroy_mesh(h_mesh)
     bridge.destroy_device(h_dev)
+
+
+def test_inspector_command_writes_through_to_host_material():
+    """The ImGui-material-panel analog: a 'set material.*' command must
+    mutate the HOST's RT64_MATERIAL struct in place
+    (rt64_inspector.cpp:226-309 semantics)."""
+    h_dev = bridge.create_device(0)
+    h_ins = bridge.create_inspector(h_dev)
+
+    cm = bridge.CMaterial()
+    cm.solidAlphaMultiplier = 1.0
+    cm.specularColor = bridge.Vec3(0.1, 0.2, 0.3)
+    name = b"test_mat"
+    bridge.set_material_inspector(
+        h_ins, ctypes.addressof(cm), ctypes.cast(name, ctypes.c_void_p).value
+    )
+
+    def cmd(s):
+        buf = ctypes.create_string_buffer(bridge.RT64TPU_INSPECTOR_REPLY_SIZE)
+        handled = bridge.handle_message_inspector(
+            h_ins, bridge.RT64TPU_MESSAGE_COMMAND,
+            ctypes.cast(ctypes.create_string_buffer(s.encode()),
+                        ctypes.c_void_p).value,
+            ctypes.addressof(buf),
+        )
+        assert handled == 1
+        return buf.value.decode()
+
+    assert cmd("get material.solid_alpha_multiplier") == "1"
+    assert cmd("set material.solid_alpha_multiplier 0.25") == "OK"
+    assert abs(cm.solidAlphaMultiplier - 0.25) < 1e-6  # host memory changed
+    assert cmd("set material.specular_color 0.9 0.8 0.7") == "OK"
+    assert abs(cm.specularColor.x - 0.9) < 1e-6
+    assert cmd("get material.specular_color").startswith("0.9")
+    assert "solid_alpha_multiplier" in cmd("list material")
+    assert cmd("get material.bogus_field").startswith("ERR")
+
+    # Unknown messages are not handled (parity with WndProc forwarding).
+    assert bridge.handle_message_inspector(h_ins, 0x111, 0, 0) == 0
+
+    # Lights: edits land in the host's RT64_LIGHT array.
+    lights = (bridge.CLight * 1)()
+    lights[0].diffuseColor = bridge.Vec3(1, 1, 1)
+    count = ctypes.c_int(1)
+    bridge.set_lights_inspector(
+        h_ins, ctypes.addressof(lights), ctypes.addressof(count), 8
+    )
+    assert cmd("set light.0.diffuse_color 0 1 0") == "OK"
+    assert lights[0].diffuseColor.y == 1.0 and lights[0].diffuseColor.x == 0.0
+
+    bridge.destroy_inspector(h_ins)
+    bridge.destroy_device(h_dev)
