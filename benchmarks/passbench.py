@@ -8,7 +8,9 @@ every stage invocation to defeat DCE while keeping inputs resident.
 
 import argparse
 import os
+import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
@@ -118,32 +120,18 @@ def main():
 
     bench("shade_opaque_slot", shade_step)
 
-    def trace_and_shade_step(c):
-        sh, t_all, k1 = fg._trace_and_shade(
-            sb, tri_rows, trace_scene, origins, dirs, tweak(c), t_max,
-            cfg.k_primary, noise_rand, cfg)
-        return c + sh.color.sum() * 0 + 1
-
-    bench("primary_trace+shade", trace_and_shade_step)
-
-    # Shadow trace for one light sample from the primary hit points.
-    sh_full, t_all, k1 = jax.block_until_ready(jax.jit(
-        lambda: fg._trace_and_shade(
-            sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
-            cfg.k_primary, noise_rand, cfg))())
-    g = jax.block_until_ready(jax.jit(
-        lambda: fg._resolve_primary(
-            sb, gp, cfg, sh_full, t_all, k1, origins, dirs,
-            jnp.zeros((3, n)), tri_rows, trace_scene, pix, bn, noise_rand))())
-
-    def resolve_step(c):
-        g2 = fg._resolve_primary(
-            sb, gp, cfg, sh_full, t_all, k1, origins, dirs,
-            jnp.zeros((3, n)) + c * 0, tri_rows, trace_scene, pix, bn,
-            noise_rand)
+    def primary_pass_step(c):
+        g2 = fg.primary_pass(
+            sb, gp, cfg, origins, dirs, tweak(c), t_max,
+            jnp.zeros((3, n)), tri_rows, trace_scene, pix, bn, noise_rand)
         return c + g2.diffuse_rgb.sum() * 0 + 1
 
-    bench("resolve_primary", resolve_step)
+    bench("primary_pass_fused", primary_pass_step)
+
+    g = jax.block_until_ready(jax.jit(
+        lambda: fg.primary_pass(
+            sb, gp, cfg, origins, dirs, t_min, t_max,
+            jnp.zeros((3, n)), tri_rows, trace_scene, pix, bn, noise_rand))())
 
     lpos = sb.lights[0, 0:3]
     ldir = lpos[:, None] - g.position

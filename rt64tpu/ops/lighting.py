@@ -69,33 +69,32 @@ def trace_shadow_factor(
 
     Opaque-class hits block completely; alpha-class hits subtract their
     shadow alpha (payload.shadowHit accumulation is order-independent,
-    rt64_shader.cpp:655-658, so a masked sum is exact)."""
+    rt64_shader.cpp:655-658, so a masked sum is exact). Returns
+    (factor (N,), dropped int32 — alpha hits beyond shade capacity)."""
     hits = tracer.trace_shadow(
         origins, dirs, t_min, t_max, trace_scene, k_alpha, opaque_fn=opaque_fn
     )
     blocked = hits.tri_op >= 0
-    if k_alpha > 0:
+    dropped = jnp.int32(0)
+    if k_alpha > 0 and trace_scene.has_alpha is not False:
         n = origins.shape[1]
-
-        def shade_alpha(_):
-            tri_flat = hits.tri_a.T.reshape(-1)  # (K*N,)
-            u_flat = hits.uv_a[..., 0].T.reshape(-1)
-            v_flat = hits.uv_a[..., 1].T.reshape(-1)
-            dirs_flat = jnp.tile(dirs, (1, k_alpha))
-            hs = shade_ops.shade_hits(
-                sb, tri_rows, dirs_flat, tri_flat, u_flat, v_flat,
-                jnp.tile(noise_rand, k_alpha), shadow_variant=True,
-            )
-            return hs.color[3].reshape(k_alpha, n).sum(0)
-
-        alpha_sum = jax.lax.cond(
-            jnp.any(hits.tri_a >= 0), shade_alpha, lambda _: jnp.zeros((n,)),
-            None,
+        tri_flat = hits.tri_a.T.reshape(-1)  # (K*N,)
+        u_flat = hits.uv_a[..., 0].T.reshape(-1)
+        v_flat = hits.uv_a[..., 1].T.reshape(-1)
+        dirs_flat = jnp.tile(dirs, (1, k_alpha))
+        # Alpha hits along shadow rays are ~1% of lanes: shade only the
+        # hit lanes (compaction; overflow surfaced through `dropped`).
+        # No lax.cond anywhere — conditionals fence the DMA schedule.
+        hs, dropped = shade_ops.shade_hits_compacted(
+            sb, tri_rows, dirs_flat, tri_flat, u_flat, v_flat,
+            jnp.tile(noise_rand, k_alpha), max(512, (k_alpha * n) // 8),
+            shadow_variant=True,
         )
+        alpha_sum = hs.color[3].reshape(k_alpha, n).sum(0)
     else:
         alpha_sum = 0.0
     factor = jnp.maximum(1.0 - alpha_sum, 0.0)
-    return jnp.where(blocked, 0.0, factor)
+    return jnp.where(blocked, 0.0, factor), dropped
 
 
 def _light_col(sb, col):
@@ -169,7 +168,7 @@ def compute_light(
     max_samples = max(di_samples, 1)
 
     def sample_body(carry, s):
-        lambert, spec_f, shadow_f = carry
+        lambert, spec_f, shadow_f, _ = carry
         bn = bluenoise.get_blue_noise(bn_table, pixel_xy, frame_count + s)
         scx = bn[..., 0] * 2.0 - 1.0
         scy = bn[..., 1] * 2.0 - 1.0
@@ -194,7 +193,7 @@ def compute_light(
                 # Dead rays get an empty interval so whole ray blocks
                 # can skip traversal in the packet tracer.
                 s_tmax = jnp.where(live, s_tmax, -1.0)
-            s_shadow = trace_shadow_factor(
+            s_shadow, s_drop = trace_shadow_factor(
                 sb, tri_rows, trace_scene, position, sample_dir,
                 tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias,
                 s_tmax, noise_rand, shadow_k_alpha,
@@ -202,20 +201,26 @@ def compute_light(
             )
         else:
             s_shadow = jnp.ones_like(s_lambert)
+            s_drop = jnp.int32(0)
         spec_dot = jnp.clip(vm.dot(reflected, -ray_dir) * intensity, 0.0, 1.0)
         s_spec = specular * jnp.power(spec_dot, ctx.spec_exp)[None]
+        lambert, spec_f, shadow_f, drop = carry
         return (
             lambert + s_lambert / max_samples,
             spec_f + s_spec / max_samples,
             shadow_f + s_shadow / max_samples,
+            drop + s_drop,
         ), None
 
     n = position.shape[1]
-    init = (jnp.zeros((n,)), jnp.zeros((3, n)), jnp.zeros((n,)))
-    (lambert, spec_f, shadow_f), _ = jax.lax.scan(
-        sample_body, init, jnp.arange(max_samples, 0, -1, dtype=jnp.int32)
-    )
-    return (ldiff * lambert[None] + lspec * spec_f) * shadow_f[None]
+    # Unrolled (see compute_lights_random): straight-line sample rounds
+    # let the shadow traces' DMAs overlap across rounds.
+    carry = (jnp.zeros((n,)), jnp.zeros((3, n)), jnp.zeros((n,)),
+             jnp.int32(0))
+    for s in range(max_samples, 0, -1):
+        carry, _ = sample_body(carry, jnp.int32(s))
+    lambert, spec_f, shadow_f, dropped = carry
+    return (ldiff * lambert[None] + lspec * spec_f) * shadow_f[None], dropped
 
 
 def compute_lights_random(
@@ -242,7 +247,7 @@ def compute_lights_random(
     use_probability = sel_count == 1
 
     def body(carry, s):
-        result, random_range, intens_work = carry
+        result, random_range, intens_work, dropped = carry
         active = (s < sel_count) & ctx.has_lighting
         r = bluenoise.get_blue_noise(bn_table, pixel_xy, frame_count + s)[..., 0]
         r = r * random_range
@@ -257,7 +262,7 @@ def compute_lights_random(
         inv_prob = jnp.where(
             use_probability, random_range / jnp.maximum(c_int, 1e-12), 1.0
         )
-        contrib = compute_light(
+        contrib, c_drop = compute_light(
             sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
             chosen, ray_dir, position, normal, specular, ctx,
             di_samples, check_shadows, noise_rand, shadow_k_alpha,
@@ -266,10 +271,13 @@ def compute_lights_random(
         result = result + jnp.where(active[None], contrib * inv_prob[None], 0.0)
         random_range = random_range - jnp.where(active, c_int, 0.0)
         intens_work = jnp.where(onehot & active[None], 0.0, intens_work)
-        return (result, random_range, intens_work), None
+        return (result, random_range, intens_work, dropped + c_drop), None
 
-    init = (jnp.zeros((3, n)), total, intens)
-    (result, _, _), _ = jax.lax.scan(
-        body, init, jnp.arange(max_light_count, dtype=jnp.int32)
-    )
-    return jnp.where(ctx.has_lighting[None], result, 0.0)
+    # Unrolled selection rounds: a lax.scan here serializes each round's
+    # shadow-ray DMAs behind the previous round's compute (profiled as a
+    # top frame cost); straight-line rounds overlap.
+    carry = (jnp.zeros((3, n)), total, intens, jnp.int32(0))
+    for s in range(max_light_count):
+        carry, _ = body(carry, jnp.int32(s))
+    result, dropped = carry[0], carry[3]
+    return jnp.where(ctx.has_lighting[None], result, 0.0), dropped

@@ -127,24 +127,23 @@ def shade_hits(
         )
     # TEXEL1: a real second texture binding (TPU extension) where the
     # reference stubs it to magenta (rt64_shader.cpp:484-487).
-    # Instances without an alt texture keep the magenta parity value;
-    # the fetch skips at runtime when no hit in the batch binds one.
+    # Instances without an alt texture keep the magenta parity value.
+    # The fetch is compiled out when the scene binds no alt texture
+    # (sb.features, static — a lax.cond skip would fence the schedule).
     magenta = jnp.stack(
         [jnp.ones_like(u), jnp.zeros_like(u), jnp.ones_like(u), jnp.ones_like(u)], 0
     )
-    use_t1 = fl(R.F_USE_T1)
-    rec_d2 = jnp.where(use_t1 & valid, gt[R.T_TEX_D2].astype(jnp.int32), -1)
-
-    def t1_eval(_):
+    feat = getattr(sb, "features", None)
+    if feat is not None and not feat.has_texel1:
+        tex1 = magenta
+    else:
+        use_t1 = fl(R.F_USE_T1)
+        rec_d2 = jnp.where(use_t1 & valid, gt[R.T_TEX_D2].astype(jnp.int32), -1)
         samp = tex_ops.sample_quad(
             sb.quad_pool, sb.quad_records, rec_d2, uv_u, uv_v, filt,
             h_addr, v_addr,
         )
-        return jnp.where((rec_d2 >= 0)[None], samp, magenta)
-
-    tex1 = jax.lax.cond(
-        jnp.any(rec_d2 >= 0), t1_eval, lambda _: magenta, None
-    )
+        tex1 = jnp.where((rec_d2 >= 0)[None], samp, magenta)
 
     color = combiner_eval_planar(
         cc_items, fl(R.F_OPT_ALPHA), fl(R.F_ALPHA_SAME),
@@ -186,13 +185,14 @@ def shade_hits(
     alpha = jnp.where(valid, alpha, 0.0)
 
     # --- normal mapping (rt64_shader.cpp:522-533) ---------------------------
-    # Most N64 content binds no normal/specular maps; both fetches skip
-    # at runtime (lax.cond) when no hit in the batch uses one.
-    rec_n = gt[R.T_TEX_N].astype(jnp.int32)
-    do_nmap = fl(R.F_NORMAL_MAP) & (rec_n >= 0) & valid
+    # Most N64 content binds no normal/specular maps: both fetches are
+    # compiled out when the scene has none (sb.features, static — a
+    # runtime lax.cond here fences the DMA schedule); when the scene
+    # does, they run masked with no control flow.
     uv_scale = mat(R.M_UV_DETAIL)
-
-    def nmap_eval(_):
+    if feat is None or feat.has_normal_maps:
+        rec_n = gt[R.T_TEX_N].astype(jnp.int32)
+        do_nmap = fl(R.F_NORMAL_MAP) & (rec_n >= 0) & valid
         tangent, binormal = tangent_binormal(gt, normal_preflip)
         tangent = tangent * normal_sign[None]
         binormal = binormal * normal_sign[None]
@@ -205,26 +205,19 @@ def shade_hits(
             normal * ncol[2][None] + tangent * ncol[0][None]
             + binormal * ncol[1][None]
         )
-        return jnp.where(do_nmap[None], perturbed, normal)
-
-    normal = jax.lax.cond(
-        jnp.any(do_nmap), nmap_eval, lambda _: normal, None
-    )
+        normal = jnp.where(do_nmap[None], perturbed, normal)
 
     # --- specular map (rt64_shader.cpp:539-545) -----------------------------
-    rec_s = gt[R.T_TEX_S].astype(jnp.int32)
-    do_smap = fl(R.F_SPECULAR_MAP) & (rec_s >= 0) & valid
-
-    def smap_eval(_):
+    if feat is None or feat.has_specular_maps:
+        rec_s = gt[R.T_TEX_S].astype(jnp.int32)
+        do_smap = fl(R.F_SPECULAR_MAP) & (rec_s >= 0) & valid
         smap = tex_ops.sample_quad(
             sb.quad_pool, sb.quad_records, jnp.where(do_smap, rec_s, -1),
             uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
         )
-        return jnp.where(do_smap[None], smap[:3], jnp.ones((3, u.shape[0])))
-
-    specular = jax.lax.cond(
-        jnp.any(do_smap), smap_eval, lambda _: jnp.ones((3, u.shape[0])), None
-    )
+        specular = jnp.where(do_smap[None], smap[:3], jnp.ones((3, u.shape[0])))
+    else:
+        specular = jnp.ones((3, u.shape[0]))
 
     # --- motion flow (rt64_shader.cpp:535-537) -------------------------------
     pp0 = gt[R.T_PP0 : R.T_PP0 + 3]
@@ -243,6 +236,80 @@ def shade_hits(
         rows_t=gt,
         tri=tri,
     )
+
+
+def compact_indices(mask, capacity: int):
+    """Ray compaction: indices of True lanes, front-packed.
+
+    Returns (idx (capacity,) int32 — source positions of the first
+    `capacity` set lanes, padded with n; count — total set lanes).
+    O(N) cumsum + scatter (no sort). Lanes beyond capacity are DROPPED
+    (callers guard with count <= capacity)."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (pos < capacity), pos, capacity)
+    idx = jnp.full((capacity,), n, jnp.int32)
+    idx = idx.at[tgt].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return idx, mask.sum()
+
+
+def shade_hits_compacted(
+    sb, tri_rows, ray_dir, tri, bary_u, bary_v, noise_rand,
+    capacity: int, shadow_variant: bool = False,
+):
+    """shade_hits over ONLY the rays that hit, scattered back full-width.
+
+    Alpha-slot batches are usually ~1-5% occupied (foliage fringes), so
+    shading the full batch wastes ~20-100x the texture/combiner work —
+    and feeding a full-width shade from in-program hit indices also
+    trips an XLA scheduling pathology (measured 7x). This compacts the
+    hit lanes (one cumsum+scatter), shades `capacity` lanes, and
+    scatters the HitShade back.
+
+    BRANCH-FREE on purpose: a lax.cond fallback was measured at ~9 ms
+    PER CONDITIONAL on a 480p frame (TPU conditionals fence the DMA
+    schedule and marshal their operands). Instead, hits beyond
+    `capacity` are dropped and their count is RETURNED — callers
+    surface it (FrameOutputs.alpha_dropped) and the view re-specializes
+    with a larger capacity on the next frame, like every other capacity
+    bucket in the engine (limits.py). Returns (HitShade, dropped int32).
+
+    The reference pays its any-hit shader per actual intersection
+    (rt64_shader.cpp:444-592) — this is the packet-framework analog.
+
+    Divergence from shade_hits: miss lanes' rows_t columns are ZERO here
+    (the full path leaves row 0's gather there); all consumers mask by
+    hit validity, so this is unobservable.
+    """
+    n = tri.shape[0]
+    mask = tri >= 0
+    idx, count = compact_indices(mask, capacity)
+    safe = jnp.minimum(idx, n - 1)
+    live = idx < n
+    g1 = lambda a: jnp.take(a, safe, axis=0)
+    g2 = lambda a: jnp.take(a, safe, axis=1)
+    tri_c = jnp.where(live, g1(tri), -1)
+    sh_c = shade_hits(
+        sb, tri_rows, g2(ray_dir), tri_c, g1(bary_u), g1(bary_v),
+        g1(noise_rand), shadow_variant=shadow_variant,
+    )
+    # Pad lanes carry idx == n and are dropped by the scatter.
+    s1 = lambda fill, v: jnp.full((n,), fill, v.dtype).at[idx].set(
+        v, mode="drop"
+    )
+    s2 = lambda rows, v: jnp.zeros((rows, n), v.dtype).at[:, idx].set(
+        v, mode="drop"
+    )
+    sh = HitShade(
+        color=s2(4, sh_c.color),
+        normal=s2(3, sh_c.normal),
+        specular=s2(3, sh_c.specular),
+        flow=s2(3, sh_c.flow),
+        instance=s1(-1, sh_c.instance),
+        rows_t=s2(R.TROW, sh_c.rows_t),
+        tri=s1(-1, tri_c),
+    )
+    return sh, jnp.maximum(count - capacity, 0)
 
 
 def tangent_binormal(gt, vertex_normal):

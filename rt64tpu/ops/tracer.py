@@ -40,10 +40,14 @@ RAY_MAX_DISTANCE = 100000.0  # Ray.hlsli:9
 _BIG = 3.0e37
 
 
+@jax.tree_util.register_pytree_node_class
 class TraceScene(NamedTuple):
     """Flattened world-space triangle soup, SoA (see scene_buffers).
 
     vx0[c] etc. hold component c of each corner: shape (3, T).
+    `has_alpha` is STATIC pytree aux data: True/False compiles the alpha
+    sweep in/out (a runtime lax.cond fences the TPU schedule); None
+    keeps the runtime skip for callers without host knowledge.
     """
 
     v0: jax.Array  # (3, T) world corner 0 components
@@ -54,6 +58,14 @@ class TraceScene(NamedTuple):
     no_cull: jax.Array  # (T,) bool — instance disables backface culling
     bias: jax.Array  # (T,) float — per-instance depthBias sort bias
     alpha_idx: jax.Array  # (A,) int32 — compacted alpha triangle ids, -1 pad
+    has_alpha: bool | None = None  # STATIC (aux): scene has alpha tris
+
+    def tree_flatten(self):
+        return tuple(self[:-1]), self.has_alpha
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, has_alpha=aux)
 
     @property
     def num_triangles(self) -> int:
@@ -366,10 +378,7 @@ def trace(
         origins, dirs, t_min, t_max, scene, cull_backface=cull_backface,
         chunk=chunk,
     )
-    if k_alpha > 0:
-        # Most scenes/frames have no alpha-class triangles at all; skip
-        # the whole alpha sweep at runtime when the compacted list is
-        # empty (lax.cond executes one branch).
+    if k_alpha > 0 and scene.has_alpha is not False:
         n = origins.shape[1]
         k = k_alpha
 
@@ -378,24 +387,36 @@ def trace(
                 origins, dirs, t_min, t_max, scene, k_alpha, cull_backface
             )
 
-        def skip_alpha(_):
-            return (
-                jnp.full((n, k), _BIG, jnp.float32),
-                jnp.full((n, k), -1, jnp.int32),
-                jnp.zeros((n, k, 2), jnp.float32),
-            )
+        if scene.has_alpha:
+            # Host knows alpha exists: compile the sweep in directly
+            # (no conditional — see TraceScene.has_alpha).
+            t_ab, tri_a, uv_a = run_alpha(None)
+        else:
+            # Unknown (has_alpha None): skip the sweep at runtime when
+            # the compacted list is empty (lax.cond runs one branch).
+            def skip_alpha(_):
+                return (
+                    jnp.full((n, k), _BIG, jnp.float32),
+                    jnp.full((n, k), -1, jnp.int32),
+                    jnp.zeros((n, k, 2), jnp.float32),
+                )
 
-        any_alpha = jnp.any(scene.alpha_idx >= 0)
-        t_ab, tri_a, uv_a = jax.lax.cond(any_alpha, run_alpha, skip_alpha, None)
+            any_alpha = jnp.any(scene.alpha_idx >= 0)
+            t_ab, tri_a, uv_a = jax.lax.cond(
+                any_alpha, run_alpha, skip_alpha, None
+            )
         # Alpha hits at/behind the opaque hit can never contribute.
         behind = t_ab >= t_opb[:, None]
         tri_a = jnp.where(behind, -1, tri_a)
         t_ab = jnp.where(behind, _BIG, t_ab)
     else:
+        # k_alpha == 0, or the host statically knows there are no alpha
+        # triangles: empty slots in the caller-expected K width.
         n = origins.shape[1]
-        t_ab = jnp.full((n, 1), _BIG, jnp.float32)
-        tri_a = jnp.full((n, 1), -1, jnp.int32)
-        uv_a = jnp.zeros((n, 1, 2), jnp.float32)
+        k = max(k_alpha, 1)
+        t_ab = jnp.full((n, k), _BIG, jnp.float32)
+        tri_a = jnp.full((n, k), -1, jnp.int32)
+        uv_a = jnp.zeros((n, k, 2), jnp.float32)
 
     # Unbias: stored keys are t - bias; recover true t for positions
     # (WithoutDistanceBias, Instances.hlsli).

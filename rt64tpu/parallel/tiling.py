@@ -67,7 +67,12 @@ def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0
             cfg=shard_cfg, visualization_mode=visualization_mode,
             row_offset=row_offset,
         )
-        return out
+        # Per-band alpha-overflow counts -> one replicated total (ICI).
+        dropped = jax.lax.psum(out.alpha_dropped, ROWS)
+        return out._replace(
+            alpha_dropped=dropped,
+            gbuffers=out.gbuffers._replace(alpha_dropped=dropped),
+        )
 
     # Scene/camera/history replicated in; pixel planes sharded out.
     rep = P()
@@ -85,6 +90,7 @@ def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0
         instance=shard_1d, transparent=shard_flat, flow=shard_flat,
         reactive=shard_1d, lock=shard_1d, depth=shard_1d,
         refl_alpha=shard_1d, refr_alpha=shard_1d, row=shard_flat,
+        alpha_dropped=rep,
     )
     out_specs = fg.FrameOutputs(
         image=shard_img,
@@ -97,6 +103,7 @@ def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0
         reflection=shard_flat,
         refraction=shard_flat,
         rt_output=shard_img,
+        alpha_dropped=rep,
     )
 
     fn = shard_map(

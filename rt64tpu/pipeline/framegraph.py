@@ -60,6 +60,10 @@ class RenderConfig:
     tri_chunk: int = 512
     alpha_cap: int = 256  # compacted alpha triangle list capacity
     refraction_enabled: bool = True  # static skip (dryrun/slim configs)
+    # Compacted-shade capacity multiplier: grown (re-specializing the
+    # jit) when a frame reports alpha_dropped > 0 — the capacity-bucket
+    # pattern (limits.py) applied to alpha-hit shading.
+    alpha_shade_boost: int = 1
     use_pallas_tracer: bool = False  # cluster-culled packet kernel (TPU)
     # Multi-chip row tiling (parallel/tiling.py): rt_height is this
     # shard's rows; full_height is the whole image (0 = unsharded).
@@ -153,6 +157,7 @@ class GBuffers(NamedTuple):
     refl_alpha: jax.Array  # (N,)
     refr_alpha: jax.Array  # (N,)
     row: jax.Array  # (TROW, N) stored-hit triangle row (materials etc.)
+    alpha_dropped: jax.Array  # () int32 — alpha hits beyond shade capacity
 
 
 class FrameOutputs(NamedTuple):
@@ -166,6 +171,7 @@ class FrameOutputs(NamedTuple):
     reflection: jax.Array  # (3, N)
     refraction: jax.Array  # (3, N)
     rt_output: jax.Array  # (3, H, W)
+    alpha_dropped: jax.Array  # () int32 (see GBuffers.alpha_dropped)
 
 
 def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
@@ -174,6 +180,7 @@ def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
     alpha = ((flags & R.F_ALPHA_CLASS) != 0) & sb.tri_valid
     no_cull = (flags & R.F_NO_CULL) != 0
     bias = rows_t[R.T_MAT + R.M_DEPTH_BIAS]
+    feat = getattr(sb, "features", None)
     return tracer.TraceScene(
         v0=rows_t[R.T_P0 : R.T_P0 + 3],
         v1=rows_t[R.T_P1 : R.T_P1 + 3],
@@ -183,6 +190,7 @@ def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
         no_cull=no_cull,
         bias=bias,
         alpha_idx=tracer.compact_alpha(sb.tri_valid, alpha, alpha_cap),
+        has_alpha=None if feat is None else feat.has_alpha,
     )
 
 
@@ -327,62 +335,52 @@ def _shadow_fn(cfg):
     return None
 
 
-def _trace_and_shade(
+def _fold_shaded_slots(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
-    noise_rand, cfg, cull_backface=True,
+    noise_rand, cfg, carry, slot_fn, cull_backface=True,
 ):
-    """Trace + shade K+1 ordered hit slots (alpha..., opaque last).
+    """Trace, then fold slot_fn(carry, sh: HitShade, t_s) front-to-back
+    over the K+1 ordered hit slots (alpha..., opaque last).
 
-    Returns (shade flattened over slots, t_all (K1, N), k1).
+    Each slot is SHADED INSIDE the fold so the per-slot HitShade —
+    including its (TROW, N) gathered rows — fuses straight into the
+    carry update and is never materialized batch-wide (the previous
+    shade-all-then-resolve shape copied ~127 rows x N per slot through
+    lax.cond outputs and a concat; that was ~2/3 of primary-pass time).
+    Returns (carry, dropped) where dropped counts alpha hits beyond the
+    compacted-shade capacity (see shade_hits_compacted — surfaced so
+    the view can grow the capacity and re-specialize).
     """
-    n = dirs.shape[1]
     hits = tracer.trace(
         origins, dirs, t_min, t_max, trace_scene,
         k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
         opaque_fn=_opaque_fn(cfg),
     )
-    k1 = k_alpha + 1
-    t_all = jnp.concatenate([hits.t_a.T, hits.t_op[None]], 0)
 
-    def shade_slot(tri, u, v):
-        sh = shade_ops.shade_hits(sb, tri_rows, dirs, tri, u, v, noise_rand)
-        return sh._replace(tri=tri)
-
-    def empty_slot(_):
-        return shade_ops.HitShade(
-            color=jnp.zeros((4, n)), normal=jnp.zeros((3, n)),
-            specular=jnp.zeros((3, n)), flow=jnp.zeros((3, n)),
-            instance=jnp.full((n,), -1, jnp.int32),
-            rows_t=jnp.zeros((R.TROW, n)),
-            tri=jnp.full((n,), -1, jnp.int32),
+    # Alpha slots are sparse (a few % of rays, foliage fringes): shade
+    # only the hit lanes via compaction. The slots are UNROLLED with no
+    # per-slot runtime cond: a lax.scan/cond at this level serializes
+    # each slot's gather DMAs behind the previous slot's compute
+    # (profiled: the two control-flow loops were ~75% of the frame),
+    # while straight-line slots let XLA overlap DMA with compute. An
+    # empty slot costs one capacity-wide shade, which the compaction
+    # keeps small. A statically alpha-free scene compiles the alpha
+    # slots out entirely.
+    cap = max(512, (dirs.shape[1] // 8) * cfg.alpha_shade_boost)
+    n_alpha_slots = 0 if trace_scene.has_alpha is False else k_alpha
+    dropped = jnp.int32(0)
+    for s in range(n_alpha_slots):
+        sh, drop_s = shade_ops.shade_hits_compacted(
+            sb, tri_rows, dirs, hits.tri_a[:, s], hits.uv_a[:, s, 0],
+            hits.uv_a[:, s, 1], noise_rand, cap,
         )
-
-    # Shade each slot separately under its own runtime cond: slots are
-    # front-to-back sorted so trailing alpha slots are usually empty for
-    # the whole batch and skip entirely (most scenes/rays see <= 1 alpha
-    # layer; the reference pays its any-hit per intersection instead).
-    parts = []
-    for s in range(k_alpha):
-        tri_s = hits.tri_a[:, s]
-        parts.append(jax.lax.cond(
-            jnp.any(tri_s >= 0),
-            lambda _, s=s: shade_slot(
-                hits.tri_a[:, s], hits.uv_a[:, s, 0], hits.uv_a[:, s, 1]
-            ),
-            empty_slot,
-            None,
-        ))
-    parts.append(shade_slot(hits.tri_op, hits.uv_op[:, 0], hits.uv_op[:, 1]))
-    shade = shade_ops.HitShade(*[
-        jnp.concatenate([getattr(p, f) for p in parts], axis=-1)
-        for f in shade_ops.HitShade._fields
-    ])
-    return shade, t_all, k1
-
-
-def _slot(arr, n, s):
-    """Slice slot s from a flattened (..., K1*N) array."""
-    return jax.lax.dynamic_slice_in_dim(arr, s * n, n, axis=arr.ndim - 1)
+        dropped = dropped + drop_s
+        carry = slot_fn(carry, sh, hits.t_a[:, s])
+    sh = shade_ops.shade_hits(
+        sb, tri_rows, dirs, hits.tri_op, hits.uv_op[:, 0],
+        hits.uv_op[:, 1], noise_rand,
+    )._replace(tri=hits.tri_op)
+    return slot_fn(carry, sh, hits.t_op), dropped
 
 
 def _row_of(tri_rows, tri, valid):
@@ -392,11 +390,12 @@ def _row_of(tri_rows, tri, valid):
     return row * valid[None].astype(row.dtype)
 
 
-def _resolve_primary(
-    sb, gp, cfg, shade, t_all, k1, origins, dirs, bg_color, tri_rows,
+def primary_pass(
+    sb, gp, cfg, origins, dirs, t_min, t_max, bg_color, tri_rows,
     trace_scene, pix, bn_table, noise_rand,
 ):
-    """Front-to-back alpha resolve (PrimaryRayGen.hlsl:76-198)."""
+    """Trace + shade + front-to-back alpha resolve, fused per slot
+    (PrimaryRayGen.hlsl:76-198)."""
     n = dirs.shape[1]
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
 
@@ -426,20 +425,17 @@ def _resolve_primary(
         st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec,
     )
 
-    tri_slots = shade.tri  # (K1*N,) original triangle ids
-
-    def slot_body(carry, s):
+    def slot_body(carry, sh, t_s):
         (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
          refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
          st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm,
          tl_spec) = carry
-        color = _slot(shade.color, n, s)  # (4, N)
-        inst = _slot(shade.instance, n, s)
-        normal = _slot(shade.normal, n, s)
-        vspec = _slot(shade.specular, n, s)
-        flow3 = _slot(shade.flow, n, s)
-        grow = _slot(shade.rows_t, n, s)  # (TROW, N)
-        t_s = t_all[s]
+        color = sh.color  # (4, N)
+        inst = sh.instance
+        normal = sh.normal
+        vspec = sh.specular
+        flow3 = sh.flow
+        grow = sh.rows_t  # (TROW, N) — fused, never materialized
         mat = lambda off: grow[R.T_MAT + off]
         flags = grow[R.T_FLAGS].astype(jnp.int32)
 
@@ -492,7 +488,7 @@ def _resolve_primary(
         tl_pos = jnp.where(take_tl[None], hit_pos, tl_pos)
         tl_nrm = jnp.where(take_tl[None], normal, tl_nrm)
         tl_spec = jnp.where(take_tl[None], spec, tl_spec)
-        tl_tri = jnp.where(take_tl, _slot(tri_slots, n, s), tl_tri)
+        tl_tri = jnp.where(take_tl, sh.tri, tl_tri)
         trans_lit_sum = trans_lit_sum + jnp.where(trans_lit[None], color_add, 0.0)
         res_transparent = res_transparent + jnp.where(
             trans_lit[None], color_add * (ambient + self_l), 0.0
@@ -518,26 +514,17 @@ def _resolve_primary(
         st_spec = jnp.where(store_hit[None], spec, st_spec)
         st_inst = jnp.where(store_hit, inst, st_inst)
         st_flow3 = jnp.where(store_hit[None], flow3, st_flow3)
-        st_tri = jnp.where(store_hit, _slot(tri_slots, n, s), st_tri)
+        st_tri = jnp.where(store_hit, sh.tri, st_tri)
         return (
             res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
             refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
             st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec,
         )
 
-    # Alpha slots skip their whole resolve step at runtime when empty
-    # batch-wide (they're front-to-back, so trailing slots usually are);
-    # the opaque slot always runs.
-    for s in range(k1):
-        if s < k1 - 1:
-            carry = jax.lax.cond(
-                jnp.any(_slot(shade.instance, n, s) >= 0),
-                lambda c, s=s: slot_body(c, s),
-                lambda c: c,
-                carry,
-            )
-        else:
-            carry = slot_body(carry, s)
+    carry, alpha_dropped = _fold_shaded_slots(
+        sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
+        cfg.k_primary, noise_rand, cfg, carry, slot_body,
+    )
 
     (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
      refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
@@ -545,26 +532,23 @@ def _resolve_primary(
 
     # Shared transparent light (1 light, checkShadows=true,
     # PrimaryRayGen.hlsl:139-147). One row gather per selected id
-    # replaces carrying full rows through the slot loop; the whole
-    # evaluation skips at runtime when no pixel has a transparent-lit
-    # hit (the resTransparentLightComputed lazy flag, dispatch-level).
+    # replaces carrying full rows through the slot loop. No runtime
+    # skip (a lax.cond fences the schedule); pixels without a
+    # transparent-lit hit ride as dead rays (tl_ctx.has_lighting False
+    # -> live masking empties their shadow intervals).
     st_row = tri_rows[jnp.maximum(st_tri, 0)].T
     st_row = st_row * stored[None].astype(st_row.dtype)
 
-    def tl_eval(_):
-        tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
-        tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
-        return lighting.compute_lights_random(
-            sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
-            dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
-            max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
-            noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-            opaque_fn=_shadow_fn(cfg),
-        )
-
-    tl_light = jax.lax.cond(
-        jnp.any(tl_stored), tl_eval, lambda _: jnp.zeros((3, n)), None
+    tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
+    tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
+    tl_light, tl_dropped = lighting.compute_lights_random(
+        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
+        dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
+        max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
+        noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
+        opaque_fn=_shadow_fn(cfg),
     )
+    alpha_dropped = alpha_dropped + tl_dropped
     res_transparent = res_transparent + trans_lit_sum * tl_light
 
     # Motion flow (PrimaryRayGen.hlsl:52-56, 163-175, 194).
@@ -605,6 +589,7 @@ def _resolve_primary(
         refl_alpha=refl_alpha,
         refr_alpha=refr_alpha,
         row=st_row,
+        alpha_dropped=alpha_dropped,
     )
 
 
@@ -644,7 +629,7 @@ def direct_pass(
     hist_len = jnp.where(gp.di_reproject, prev_len, jnp.zeros((n,)))
 
     ctx = lighting.ctx_from_rows(g.row, g.instance >= 0)
-    res = lighting.compute_lights_random(
+    res, di_dropped = lighting.compute_lights_random(
         sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
         g.view_dir, g.position, g.normal, g.specular, ctx,
         max_light_count=cfg.max_lights, di_samples=cfg.di_samples,
@@ -669,41 +654,52 @@ def direct_pass(
     new_direct = new_direct + (res - new_direct) / hist_len[None]
     out = jnp.concatenate([new_direct, hist_len[None]], 0)
     miss = jnp.concatenate([jnp.ones((3, n)), jnp.zeros((1, n))], 0)
-    return jnp.where(no_hit[None], miss, out)
+    return jnp.where(no_hit[None], miss, out), di_dropped
 
 
-def _simple_resolve(shade, t_all, k1, origins, dirs, tri_rows):
-    """Secondary-ray resolve (IndirectRayGen.hlsl:95-117): accumulate
-    color front-to-back, remember the last contributing hit."""
+def _simple_resolve_fold(
+    sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
+    noise_rand, cfg,
+):
+    """Fused trace+shade+resolve for secondary rays
+    (IndirectRayGen.hlsl:95-117): accumulate color front-to-back,
+    remember the last contributing hit."""
     n = dirs.shape[1]
-    res_a = jnp.ones((n,))
-    res_rgb = jnp.zeros((3, n))
-    res_pos = jnp.zeros((3, n))
-    res_nrm = jnp.zeros((3, n))
-    res_spec = jnp.zeros((3, n))
-    res_tri = jnp.zeros((n,), jnp.int32)
-    res_inst = jnp.full((n,), -1, jnp.int32)
-    for s in range(k1):
-        color = _slot(shade.color, n, s)
-        inst = _slot(shade.instance, n, s)
-        normal = _slot(shade.normal, n, s)
-        vspec = _slot(shade.specular, n, s)
-        grow = _slot(shade.rows_t, n, s)
+    carry = (
+        jnp.ones((n,)), jnp.zeros((3, n)), jnp.zeros((3, n)),
+        jnp.zeros((3, n)), jnp.zeros((3, n)),
+        jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32),
+    )
+
+    def slot_body(carry, sh, t_s):
+        res_a, res_rgb, res_pos, res_nrm, res_spec, res_tri, res_inst = carry
+        inst = sh.instance
         valid = inst >= 0
-        ha = color[3]
+        ha = sh.color[3]
         alpha_contrib = res_a * ha
         live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        hit_pos = origins + dirs * t_all[s][None]
-        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
-        res_rgb = res_rgb + jnp.where(live[None], color[:3] * alpha_contrib[None], 0.0)
+        hit_pos = origins + dirs * t_s[None]
+        grow = sh.rows_t
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * sh.specular
+        res_rgb = res_rgb + jnp.where(
+            live[None], sh.color[:3] * alpha_contrib[None], 0.0
+        )
         res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
         res_pos = jnp.where(live[None], hit_pos, res_pos)
-        res_nrm = jnp.where(live[None], normal, res_nrm)
+        res_nrm = jnp.where(live[None], sh.normal, res_nrm)
         res_spec = jnp.where(live[None], spec, res_spec)
-        res_tri = jnp.where(live, _slot(shade.tri, n, s), res_tri)
+        res_tri = jnp.where(live, sh.tri, res_tri)
         res_inst = jnp.where(live, inst, res_inst)
+        return res_a, res_rgb, res_pos, res_nrm, res_spec, res_tri, res_inst
+
+    ((res_a, res_rgb, res_pos, res_nrm, res_spec, res_tri, res_inst),
+     dropped) = _fold_shaded_slots(
+        sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
+        k_alpha, noise_rand, cfg, carry, slot_body,
+    )
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
-    return res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row
+    return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
+            dropped)
 
 
 def indirect_pass(
@@ -715,7 +711,7 @@ def indirect_pass(
     ambient3 = gp.ambient_base + gp.ambient_no_gi
     if cfg.gi_samples <= 0:
         base = jnp.broadcast_to(ambient3[:, None], (3, n))
-        return jnp.concatenate([base, jnp.zeros((1, n))], 0)
+        return jnp.concatenate([base, jnp.zeros((1, n))], 0), jnp.int32(0)
 
     ambient = vm.splat(ambient3, g.normal) * jnp.ones((3, n))
     active = g.instance >= 0
@@ -735,17 +731,15 @@ def indirect_pass(
     t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
 
     def gi_body(carry, s):
-        new_indirect, hist_len = carry
+        new_indirect, hist_len, dropped = carry
         bn = bluenoise.get_blue_noise(
             bn_table, pix, gp.frame_count + s * blue_noise_mult
         )
         ray_dir = _cos_hemisphere(bn[..., 0], bn[..., 1], normal)
-        shade, t_all, k1 = _trace_and_shade(
+        (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
+         gi_drop) = _simple_resolve_fold(
             sb, tri_rows, trace_scene, origin, ray_dir, t_min, t_max,
             cfg.k_secondary, noise_rand, cfg,
-        )
-        res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row = (
-            _simple_resolve(shade, t_all, k1, origin, ray_dir, tri_rows)
         )
 
         bg = sky.sample_background_env(bg_planes, ray_dir)
@@ -758,7 +752,7 @@ def indirect_pass(
 
         # 1-light direct estimate at the bounce (IndirectRayGen.hlsl:121-127).
         ctx = lighting.ctx_from_rows(res_row, res_inst >= 0)
-        direct_b = lighting.compute_lights_random(
+        direct_b, db_drop = lighting.compute_lights_random(
             sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
             ray_dir, res_pos, res_nrm, res_spec, ctx,
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
@@ -775,17 +769,18 @@ def indirect_pass(
 
         hist_len2 = jnp.minimum(hist_len + 1.0, 64.0)
         new_indirect2 = new_indirect + (res_ind - new_indirect) / hist_len2[None]
-        return (new_indirect2, hist_len2), None
+        return (new_indirect2, hist_len2, dropped + gi_drop + db_drop), None
 
-    (new_indirect, hist_len), _ = jax.lax.scan(
-        gi_body, (new_indirect, hist_len),
-        jnp.arange(cfg.gi_samples, 0, -1, dtype=jnp.int32),
-    )
+    # Unrolled GI rounds (see compute_lights_random on scan fences).
+    carry = (new_indirect, hist_len, jnp.int32(0))
+    for s in range(cfg.gi_samples, 0, -1):
+        carry, _ = gi_body(carry, jnp.int32(s))
+    new_indirect, hist_len, gi_dropped = carry
     out = jnp.concatenate([new_indirect, hist_len[None]], 0)
     fallback = jnp.concatenate(
         [jnp.broadcast_to(ambient3[:, None], (3, n)), jnp.zeros((1, n))], 0
     )
-    return jnp.where(active[None], out, fallback)
+    return jnp.where(active[None], out, fallback), gi_dropped
 
 
 def _cos_hemisphere(r1, r2, normal):
@@ -809,34 +804,33 @@ def _cos_hemisphere(r1, r2, normal):
     )
 
 
-def _lit_secondary_resolve(
-    sb, gp, shade, t_all, k1, origins, dirs, fog_mode, store_any, tri_rows,
+def _lit_secondary_fold(
+    sb, gp, cfg, tri_rows, trace_scene, origins, dirs, t_min, t_max,
+    noise_rand, fog_mode, store_any,
 ):
-    """Reflection/refraction hit resolve with fog + lighting split
-    (ReflectionRayGen.hlsl:68-126, RefractionRayGen.hlsl:63-110)."""
+    """Fused trace+shade+resolve for reflection/refraction rays with the
+    fog + lighting split (ReflectionRayGen.hlsl:68-126,
+    RefractionRayGen.hlsl:63-110)."""
     n = dirs.shape[1]
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
-    res_a = jnp.ones((n,))
-    res_rgb = jnp.zeros((3, n))
-    res_transparent = jnp.zeros((3, n))
-    res_pos = jnp.zeros((3, n))
-    res_nrm = jnp.zeros((3, n))
-    res_spec = jnp.zeros((3, n))
-    res_tri = jnp.zeros((n,), jnp.int32)
-    res_inst = jnp.full((n,), -1, jnp.int32)
-    for s in range(k1):
-        color = _slot(shade.color, n, s)
-        inst = _slot(shade.instance, n, s)
-        normal = _slot(shade.normal, n, s)
-        vspec = _slot(shade.specular, n, s)
-        grow = _slot(shade.rows_t, n, s)
+    carry = (
+        jnp.ones((n,)), jnp.zeros((3, n)), jnp.zeros((3, n)),
+        jnp.zeros((3, n)), jnp.zeros((3, n)), jnp.zeros((3, n)),
+        jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32),
+    )
+
+    def slot_body(carry, sh, t_s):
+        (res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec,
+         res_tri, res_inst) = carry
+        grow = sh.rows_t
         mat = lambda off: grow[R.T_MAT + off]
         flags = grow[R.T_FLAGS].astype(jnp.int32)
+        inst = sh.instance
         valid = inst >= 0
-        ha = color[3]
+        ha = sh.color[3]
         alpha_contrib = res_a * ha
         live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        hit_pos = origins + dirs * t_all[s][None]
+        hit_pos = origins + dirs * t_s[None]
         if fog_mode == "camera":
             fa = fog.fog_alpha_from_camera(
                 hit_pos, gp.view, gp.projection, mat(R.M_FOG_MUL),
@@ -852,7 +846,7 @@ def _lit_secondary_resolve(
             live[None], fog_rgb * (fa * alpha_contrib)[None], 0.0
         )
         alpha_contrib = alpha_contrib * (1.0 - fa)
-        color_add = color[:3] * alpha_contrib[None]
+        color_add = sh.color[:3] * alpha_contrib[None]
         uses_l = ((flags & R.F_HAS_LIGHTING) != 0) & valid
         lit = live & uses_l
         self_l = grow[R.T_MAT + R.M_SELF_LIGHT : R.T_MAT + R.M_SELF_LIGHT + 3]
@@ -860,38 +854,42 @@ def _lit_secondary_resolve(
         res_transparent = res_transparent + jnp.where(
             (live & ~uses_l)[None], color_add * (ambient + self_l), 0.0
         )
-        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * sh.specular
         # Refraction stores only lit hits (RefractionRayGen.hlsl:84-93);
         # reflection stores any live hit (ReflectionRayGen.hlsl:114-118).
         store = live if store_any else lit
         res_pos = jnp.where(store[None], hit_pos, res_pos)
-        res_nrm = jnp.where(store[None], normal, res_nrm)
+        res_nrm = jnp.where(store[None], sh.normal, res_nrm)
         res_spec = jnp.where(store[None], spec, res_spec)
-        res_tri = jnp.where(store, _slot(shade.tri, n, s), res_tri)
+        res_tri = jnp.where(store, sh.tri, res_tri)
         res_inst = jnp.where(store, inst, res_inst)
         res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
+        return (res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec,
+                res_tri, res_inst)
+
+    ((res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec, res_tri,
+      res_inst), dropped) = _fold_shaded_slots(
+        sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
+        cfg.k_secondary, noise_rand, cfg, carry, slot_body,
+    )
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
-            res_transparent)
+            res_transparent, dropped)
 
 
 def refraction_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
     noise_rand, bg_planes, screen_u, screen_v,
 ):
-    """RefractionRayGen.hlsl:17-117. Returns (3, N). The whole pass is
-    skipped at runtime when nothing seeded refraction (the per-pixel
-    early-out of the reference, lifted to the dispatch level)."""
-    n = g.instance.shape[0]
+    """RefractionRayGen.hlsl:17-117. Returns ((3, N), dropped).
 
-    def run(_):
-        return _refraction_impl(
-            sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table,
-            noise_rand, bg_planes, screen_u, screen_v,
-        )
-
-    return jax.lax.cond(
-        jnp.any(g.refr_alpha > EPSILON), run, lambda _: jnp.zeros((3, n)), None
+    Scenes without refractive materials skip this pass statically
+    (cfg.refraction_enabled); within an enabled scene, pixels that
+    seeded no refraction ride as dead rays (empty trace intervals) — a
+    runtime lax.cond fence costs more than the masked work."""
+    return _refraction_impl(
+        sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table,
+        noise_rand, bg_planes, screen_u, screen_v,
     )
 
 
@@ -915,16 +913,13 @@ def _refraction_impl(
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
-    shade, t_all, k1 = _trace_and_shade(
-        sb, tri_rows, trace_scene, g.position, ray_dir, t_min, t_max,
-        cfg.k_secondary, noise_rand, cfg,
-    )
-    (rgb, res_a, pos, nrm, spec, inst, row, transparent) = _lit_secondary_resolve(
-        sb, gp, shade, t_all, k1, g.position, ray_dir, fog_mode="camera",
-        store_any=False, tri_rows=tri_rows,
+    (rgb, res_a, pos, nrm, spec, inst, row, transparent,
+     fold_drop) = _lit_secondary_fold(
+        sb, gp, cfg, tri_rows, trace_scene, g.position, ray_dir, t_min, t_max,
+        noise_rand, fog_mode="camera", store_any=False,
     )
     ctx = lighting.ctx_from_rows(row, inst >= 0)
-    direct = lighting.compute_lights_random(
+    direct, li_drop = lighting.compute_lights_random(
         sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
         ray_dir, pos, nrm, spec, ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
@@ -934,7 +929,8 @@ def _refraction_impl(
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
     rgb = jnp.where((inst >= 0)[None], rgb * (ambient + direct + ctx.self_light), rgb)
     rgb = rgb + bg * res_a[None] + transparent
-    return jnp.where(active[None], rgb * g.refr_alpha[None], 0.0)
+    return (jnp.where(active[None], rgb * g.refr_alpha[None], 0.0),
+            fold_drop + li_drop)
 
 
 def _refract(d, n, eta):
@@ -956,16 +952,10 @@ def reflection_pass(
     (ReflectionRayGen.hlsl:117-124), looped max_reflections times
     (rt64_view.cpp:1417-1436).
     """
-    refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row = refl_state
-    any_active = jnp.any((inst_id >= 0) & (refl_a > EPSILON))
-
-    def run(state):
-        return _reflection_impl(
-            sb, tri_rows, trace_scene, cfg, gp, g, state, pix, bn_table,
-            noise_rand, bg_planes,
-        )
-
-    return jax.lax.cond(any_active, run, lambda st: st, refl_state)
+    return _reflection_impl(
+        sb, tri_rows, trace_scene, cfg, gp, g, refl_state, pix, bn_table,
+        noise_rand, bg_planes,
+    )
 
 
 def _reflection_impl(
@@ -987,37 +977,30 @@ def _reflection_impl(
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
-    shade, t_all, k1 = _trace_and_shade(
-        sb, tri_rows, trace_scene, sh_pos, ray_dir, t_min, t_max,
-        cfg.k_secondary, noise_rand, cfg,
-    )
 
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, ray_dir)
     # Bug-compatible: the fresnel multiplier reads the *primary* pixel's
     # material (ReflectionRayGen.hlsl:100).
     primary_fresnel = sh_row[R.T_MAT + R.M_REFL_FRESNEL]
-    res_a = jnp.ones((n,))
-    res_rgb = jnp.zeros((3, n))
-    res_transparent = jnp.zeros((3, n))
-    res_pos = jnp.zeros((3, n))
-    res_nrm = jnp.zeros((3, n))
-    res_spec = jnp.zeros((3, n))
-    res_tri = jnp.zeros((n,), jnp.int32)
-    res_inst = jnp.full((n,), -1, jnp.int32)
-    new_refl_a = jnp.zeros((n,))
-    for s in range(k1):
-        color = _slot(shade.color, n, s)
-        inst = _slot(shade.instance, n, s)
-        normal = _slot(shade.normal, n, s)
-        vspec = _slot(shade.specular, n, s)
-        grow = _slot(shade.rows_t, n, s)
+    carry = (
+        jnp.ones((n,)), jnp.zeros((3, n)), jnp.zeros((3, n)),
+        jnp.zeros((3, n)), jnp.zeros((3, n)), jnp.zeros((3, n)),
+        jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+    )
+
+    def slot_body(carry, sh, t_s):
+        (res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec,
+         res_tri, res_inst, new_refl_a) = carry
+        grow = sh.rows_t
         mat = lambda off: grow[R.T_MAT + off]
         flags = grow[R.T_FLAGS].astype(jnp.int32)
+        inst = sh.instance
         valid = inst >= 0
-        ha = color[3]
+        ha = sh.color[3]
         alpha_contrib = res_a * ha
         live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        hit_pos = sh_pos + ray_dir * t_all[s][None]
+        hit_pos = sh_pos + ray_dir * t_s[None]
         fa = jnp.where(
             mat(R.M_FOG_ENABLED) > 0.0,
             fog.fog_alpha_from_origin(
@@ -1033,12 +1016,12 @@ def _reflection_impl(
 
         hit_refl = mat(R.M_REFLECTION)
         has_refl = live & (hit_refl > EPSILON)
-        fres = _fresnel(normal, ray_dir, hit_refl, primary_fresnel)
+        fres = _fresnel(sh.normal, ray_dir, hit_refl, primary_fresnel)
         new_refl_a = new_refl_a + jnp.where(
             has_refl, fres * alpha_contrib * refl_a, 0.0
         )
 
-        color_add = color[:3] * alpha_contrib[None]
+        color_add = sh.color[:3] * alpha_contrib[None]
         uses_l = ((flags & R.F_HAS_LIGHTING) != 0) & valid
         lit = live & uses_l
         self_l = grow[R.T_MAT + R.M_SELF_LIGHT : R.T_MAT + R.M_SELF_LIGHT + 3]
@@ -1046,19 +1029,27 @@ def _reflection_impl(
         res_transparent = res_transparent + jnp.where(
             (live & ~uses_l)[None], color_add * (ambient + self_l), 0.0
         )
-        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * vspec
+        spec = grow[R.T_MAT + R.M_SPECULAR : R.T_MAT + R.M_SPECULAR + 3] * sh.specular
         res_pos = jnp.where(live[None], hit_pos, res_pos)
-        res_nrm = jnp.where(live[None], normal, res_nrm)
+        res_nrm = jnp.where(live[None], sh.normal, res_nrm)
         res_spec = jnp.where(live[None], spec, res_spec)
-        res_tri = jnp.where(live, _slot(shade.tri, n, s), res_tri)
+        res_tri = jnp.where(live, sh.tri, res_tri)
         res_inst = jnp.where(live, inst, res_inst)
         res_a = jnp.where(live, res_a * (1.0 - ha), res_a)
+        return (res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec,
+                res_tri, res_inst, new_refl_a)
+
+    ((res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec, res_tri,
+      res_inst, new_refl_a), refl_dropped) = _fold_shaded_slots(
+        sb, tri_rows, trace_scene, sh_pos, ray_dir, t_min, t_max,
+        cfg.k_secondary, noise_rand, cfg, carry, slot_body,
+    )
 
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     # Lighting at the final hit (checkShadows=false,
     # ReflectionRayGen.hlsl:125-132) + shading-buffer writeback.
     ctx = lighting.ctx_from_rows(res_row, res_inst >= 0)
-    direct = lighting.compute_lights_random(
+    direct, li_drop = lighting.compute_lights_random(
         sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
         ray_dir, res_pos, res_nrm, res_spec, ctx,
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=False,
@@ -1088,7 +1079,8 @@ def _reflection_impl(
     add = res_rgb * refl_a[None] * jnp.clip(1.0 - new_refl_a, 0.0, 1.0)[None]
     refl_rgb = refl_rgb + jnp.where(active[None], add, 0.0)
     refl_a = jnp.where(active, jnp.clip(new_refl_a, 0.0, 1.0), refl_a)
-    return (refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row)
+    return ((refl_rgb, refl_a, sh_pos, view_dir, sh_nrm, inst_id, sh_row),
+            refl_dropped + li_drop)
 
 
 def render_frame(
@@ -1142,47 +1134,42 @@ def render_frame(
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
-    shade, t_all, k1 = _trace_and_shade(
-        sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
-        cfg.k_primary, noise_rand, cfg,
-    )
-    g = _resolve_primary(
-        sb, gp, cfg, shade, t_all, k1, origins, dirs, bg_color,
+    g = primary_pass(
+        sb, gp, cfg, origins, dirs, t_min, t_max, bg_color,
         tri_rows, trace_scene, pix, bn_table, noise_rand,
     )
 
-    direct_accum = direct_pass(
+    alpha_dropped = g.alpha_dropped
+    direct_accum, d_drop = direct_pass(
         sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
         noise_rand, row_offset,
     )
-    indirect_accum = indirect_pass(
+    indirect_accum, i_drop = indirect_pass(
         sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
         noise_rand, bg_planes, row_offset,
     )
+    alpha_dropped = alpha_dropped + d_drop + i_drop
     if cfg.refraction_enabled:
-        refraction_rgb = refraction_pass(
+        refraction_rgb, r_drop = refraction_pass(
             sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
             bg_planes, su, sv,
         )
+        alpha_dropped = alpha_dropped + r_drop
     else:
         refraction_rgb = jnp.zeros((3, n))
     refl_state = (
         jnp.zeros((3, n)), g.refl_alpha, g.position, g.view_dir, g.normal,
         g.instance, g.row,
     )
-    if cfg.max_reflections > 0:
-        def refl_body(state, _):
-            return (
-                reflection_pass(
-                    sb, tri_rows, trace_scene, cfg, gp, g, state, pix,
-                    bn_table, noise_rand, bg_planes,
-                ),
-                None,
-            )
-
-        refl_state, _ = jax.lax.scan(
-            refl_body, refl_state, None, length=cfg.max_reflections
+    # Unrolled bounce loop (rt64_view.cpp:1417-1436): each bounce
+    # depends on the last, but straight-line code still lets XLA overlap
+    # DMA prefetch across the boundary (a lax.scan cannot).
+    for _ in range(cfg.max_reflections):
+        refl_state, rf_drop = reflection_pass(
+            sb, tri_rows, trace_scene, cfg, gp, g, refl_state, pix,
+            bn_table, noise_rand, bg_planes,
         )
+        alpha_dropped = alpha_dropped + rf_drop
     reflection_rgb = refl_state[0]
 
     # DI denoise is compiled out in the reference (rt64_view.cpp:1439-1443).
@@ -1252,6 +1239,7 @@ def render_frame(
         reflection=reflection_rgb,
         refraction=refraction_rgb,
         rt_output=rt_rgb,
+        alpha_dropped=alpha_dropped,
     )
 
 

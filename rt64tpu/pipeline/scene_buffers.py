@@ -31,8 +31,32 @@ from rt64tpu.pipeline import rows as R
 LIGHT_WIDTH = 14
 
 
+class ShadeFeatures(NamedTuple):
+    """STATIC scene-wide shading capabilities, known on the host.
+
+    Rides SceneBuffers as pytree aux data (hashable, not traced), so
+    shading specializes away whole sub-passes the scene cannot trigger —
+    the dispatch-level analog of the reference compiling a shader
+    permutation per material feature set (rt64_shader.cpp:104-129).
+    Runtime lax.cond skips are NOT a substitute on TPU: each conditional
+    is a scheduling fence that serializes the surrounding DMA pipeline
+    (profiled at several ms per fence on a 480p frame). Flipping a flag
+    re-specializes the jit, like any other static config change.
+    """
+
+    has_alpha: bool = True  # any alpha-class triangles
+    has_normal_maps: bool = True
+    has_specular_maps: bool = True
+    has_texel1: bool = True  # any TEXEL1 (alt) texture bound
+
+
+@jax.tree_util.register_pytree_node_class
 class SceneBuffers(NamedTuple):
-    """Device-resident scene. All shapes fixed by SceneLimits."""
+    """Device-resident scene. All shapes fixed by SceneLimits.
+
+    A NamedTuple pytree with one twist: `features` (ShadeFeatures) is
+    STATIC aux data — it parameterizes compilation, not execution.
+    """
 
     vertex_rows: jax.Array  # (V, VROW) f32 object-space attrs
     tri_idx: jax.Array  # (T, 3) int32
@@ -47,6 +71,14 @@ class SceneBuffers(NamedTuple):
     raster_bg_count: jax.Array  # () int32
     raster_fg: jax.Array  # (RB, RR_WIDTH) raster foreground (HUD)
     raster_fg_count: jax.Array  # () int32
+    features: ShadeFeatures = ShadeFeatures()
+
+    def tree_flatten(self):
+        return tuple(self[:-1]), self.features
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, features=aux)
 
 
 def _addr_np(i, size, mode):
@@ -346,6 +378,26 @@ class ScenePacker:
                 quad_pool=jnp.asarray(self._np["quad_pool"]),
                 quad_records=jnp.asarray(self._np["quad_records"]),
             )
+        # Static feature summary (ShadeFeatures docstring): what this
+        # scene can trigger at all, computed host-side per frame.
+        has_nmap = has_smap = has_t1 = False
+        for inst in instances[:I]:
+            sh = inst.desc.shader
+            if sh is None:
+                continue
+            if sh.normal_map_enabled and inst.desc.normal_texture is not None:
+                has_nmap = True
+            if sh.specular_map_enabled and inst.desc.specular_texture is not None:
+                has_smap = True
+            if sh.combiner.use_textures[1] and inst.desc.alt_texture is not None:
+                has_t1 = True
+        features = ShadeFeatures(
+            has_alpha=getattr(self, "alpha_triangle_count", 0) > 0,
+            has_normal_maps=has_nmap,
+            has_specular_maps=has_smap,
+            has_texel1=has_t1,
+        )
+
         return SceneBuffers(
             **self._dev_geom,
             instance_rows=jnp.asarray(irows),
@@ -356,6 +408,7 @@ class ScenePacker:
             raster_bg_count=jnp.int32(rb_count),
             raster_fg=jnp.asarray(rf_rows),
             raster_fg_count=jnp.int32(rf_count),
+            features=features,
         )
 
     def _pack_raster(self, instances: List[Instance], raster_list):

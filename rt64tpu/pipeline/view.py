@@ -45,6 +45,7 @@ class ViewRenderer:
         self._prev_view_proj = None
         self._prev_view_i = None
         self._last = None
+        self._alpha_boost = 1
 
     # -- update: the View::update analog -----------------------------------
     def update(self):
@@ -88,6 +89,22 @@ class ViewRenderer:
     # -- render: the View::render analog ------------------------------------
     def render(self, delta_time_ms: float):
         view = self.view
+        # Compacted-shade capacity auto-grow: if the previous frame
+        # dropped alpha hits (shade_hits_compacted overflow), double the
+        # capacity boost and re-specialize — the capacity-bucket pattern
+        # (limits.py) instead of a per-slot runtime fallback (a lax.cond
+        # fence costs ~9 ms each on a 480p frame). The overflow frame
+        # itself rendered with the extra alpha layers missing; this
+        # corrects from the next frame on.
+        if self._last is not None:
+            import numpy as _np
+
+            if int(_np.asarray(self._last.alpha_dropped)) > 0:
+                self._alpha_boost = min(self._alpha_boost * 2, 8)
+                from rt64tpu.utils.log import breadcrumb
+
+                breadcrumb(f"alpha shade capacity overflow; boost -> "
+                           f"{self._alpha_boost}")
         cfg = self._config()
         gp = self._global_params(cfg)
         if self.history is None or self.history.depth.shape[0] != (
@@ -151,6 +168,15 @@ class ViewRenderer:
         else:
             rw = max(1, int(dw * vd.resolution_scale))
             rh = max(1, int(dh * vd.resolution_scale))
+        # Static pass skips from scene-wide material knowledge: the
+        # reference early-outs per pixel inside the raygen (refraction /
+        # reflection alpha == 0); here the whole dispatch is elided at
+        # trace time when NO material can seed it. Toggling a material's
+        # factor re-specializes the jit (rare, bucketed like the other
+        # static config fields).
+        mats = [i.desc.material for i in view.scene.instances]
+        any_refr = any(m.refraction_factor > 1e-6 for m in mats)
+        any_refl = any(m.reflection_factor > 1e-6 for m in mats)
         return fg.RenderConfig(
             rt_width=rw,
             rt_height=rh,
@@ -162,10 +188,12 @@ class ViewRenderer:
             # pixel (Lights.hlsli:137); statically cap the selection
             # loop by the actual light count to avoid dead rounds.
             max_lights=max(1, min(int(vd.max_lights), len(view.scene.lights))),
-            max_reflections=view.max_reflections,
+            max_reflections=view.max_reflections if any_refl else 0,
+            refraction_enabled=any_refr,
             denoiser_enabled=bool(vd.denoiser_enabled),
             upscaler=int(vd.upscaler),
             alpha_cap=self.packer.alpha_cap,
+            alpha_shade_boost=self._alpha_boost,
             use_pallas_tracer=jax.default_backend() not in ("cpu",),
         )
 
