@@ -92,10 +92,11 @@ def main():
     bench("primary_opaque_trace", opaque_step)
 
     def alpha_step(c):
-        t_a, tri_a, uv_a = tracer.trace_alpha(
+        t_a, tri_a, uv_a, b_a, drop = tracer.trace_alpha(
             origins, dirs, tweak(c), t_max, trace_scene, cfg.k_primary,
-            cull_backface=True)
-        return c + t_a.sum() * 0 + 1
+            cull_backface=True,
+            compact_capacity=max(1024, n // 4))
+        return c + t_a.sum() * 0 + tri_a.sum() * 0 + uv_a.sum() * 0 + 1
 
     bench("primary_alpha_trace", alpha_step)
 

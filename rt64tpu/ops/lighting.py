@@ -63,7 +63,7 @@ def ctx_from_rows(rows_t, valid):
 
 def trace_shadow_factor(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, noise_rand,
-    k_alpha: int, opaque_fn=None,
+    k_alpha: int, opaque_fn=None, alpha_compact: int = 0,
 ):
     """TraceShadow: 1 = lit, 0 = fully shadowed.
 
@@ -72,10 +72,11 @@ def trace_shadow_factor(
     rt64_shader.cpp:655-658, so a masked sum is exact). Returns
     (factor (N,), dropped int32 — alpha hits beyond shade capacity)."""
     hits = tracer.trace_shadow(
-        origins, dirs, t_min, t_max, trace_scene, k_alpha, opaque_fn=opaque_fn
+        origins, dirs, t_min, t_max, trace_scene, k_alpha,
+        opaque_fn=opaque_fn, alpha_compact=alpha_compact,
     )
     blocked = hits.tri_op >= 0
-    dropped = jnp.int32(0)
+    dropped = hits.alpha_dropped
     if k_alpha > 0 and trace_scene.has_alpha is not False:
         n = origins.shape[1]
         tri_flat = hits.tri_a.T.reshape(-1)  # (K*N,)
@@ -85,12 +86,13 @@ def trace_shadow_factor(
         # Alpha hits along shadow rays are ~1% of lanes: shade only the
         # hit lanes (compaction; overflow surfaced through `dropped`).
         # No lax.cond anywhere — conditionals fence the DMA schedule.
-        hs, dropped = shade_ops.shade_hits_compacted(
+        hs, sh_dropped = shade_ops.shade_hits_compacted(
             sb, tri_rows, dirs_flat, tri_flat, u_flat, v_flat,
             jnp.tile(noise_rand, k_alpha), max(512, (k_alpha * n) // 8),
             shadow_variant=True,
         )
         alpha_sum = hs.color[3].reshape(k_alpha, n).sum(0)
+        dropped = dropped + sh_dropped
     else:
         alpha_sum = 0.0
     factor = jnp.maximum(1.0 - alpha_sum, 0.0)
@@ -146,6 +148,7 @@ def compute_light(
     shadow_k_alpha: int,
     opaque_fn=None,
     live=None,  # (N,) bool: rays worth tracing (inactive skip blocks)
+    alpha_compact: int = 0,
 ):
     """ComputeLight (Lights.hlsli:70-113) for one selected light/pixel."""
     sel = lambda col: _select_light(sb.lights[:, col], chosen)
@@ -197,7 +200,7 @@ def compute_light(
                 sb, tri_rows, trace_scene, position, sample_dir,
                 tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias,
                 s_tmax, noise_rand, shadow_k_alpha,
-                opaque_fn=opaque_fn,
+                opaque_fn=opaque_fn, alpha_compact=alpha_compact,
             )
         else:
             s_shadow = jnp.ones_like(s_lambert)
@@ -228,6 +231,7 @@ def compute_lights_random(
     ray_dir, position, normal, specular, ctx: LightingCtx,
     max_light_count: int, di_samples: int, check_shadows: bool,
     noise_rand, shadow_k_alpha: int = 1, opaque_fn=None,
+    alpha_compact: int = 0,
 ):
     """ComputeLightsRandom (Lights.hlsli:115-168), fully vectorized."""
     L = sb.lights.shape[0]
@@ -266,7 +270,7 @@ def compute_lights_random(
             sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
             chosen, ray_dir, position, normal, specular, ctx,
             di_samples, check_shadows, noise_rand, shadow_k_alpha,
-            opaque_fn=opaque_fn, live=active,
+            opaque_fn=opaque_fn, live=active, alpha_compact=alpha_compact,
         )
         result = result + jnp.where(active[None], contrib * inv_prob[None], 0.0)
         random_range = random_range - jnp.where(active, c_int, 0.0)

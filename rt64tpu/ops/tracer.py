@@ -104,6 +104,8 @@ class Hits(NamedTuple):
     t_a: jax.Array  # (N, K) biased-sorted, unbiased t values (BIG pad)
     tri_a: jax.Array  # (N, K) triangle indices, -1 pad
     uv_a: jax.Array  # (N, K, 2)
+    alpha_dropped: jax.Array  # () int32 — rays culled past the alpha
+    # compaction capacity (trace_alpha compact_capacity); 0 when exact
 
 
 class _Rays(NamedTuple):
@@ -290,13 +292,112 @@ def _extract_k_smallest(key, ids, k: int, payloads=()):
 
 def trace_alpha(
     origins, dirs, t_min, t_max, scene: TraceScene, k_alpha: int,
-    cull_backface: bool, chunk: int = 256,
+    cull_backface: bool, chunk: int = 256, compact_capacity: int = 0,
 ):
     """K nearest alpha-class hits over the compacted alpha list.
 
-    Returns (t_biased (N,K) sorted, tri (N,K), uv (N,K,2)). The K-slot
-    collection is sort-free (see _extract_k_smallest) and gather-free:
-    barycentrics ride the extraction as masked-reduce payloads.
+    Returns (t_biased (N,K) sorted, tri (N,K), uv (N,K,2),
+    bias (N,K) — the extracted hits' depth biases, dropped).
+    The K-slot collection is sort-free (see _extract_k_smallest) and
+    gather-free: barycentrics ride the extraction as masked-reduce
+    payloads.
+
+    With compact_capacity > 0 the sweep is CULLED + COMPACTED: each ray
+    slab-tests the alpha list's 128-triangle chunk AABBs (O(N x A/128),
+    tiny), and only the rays whose segment can touch alpha geometry —
+    typically a few percent — run the O(rays x A) intersection sweep.
+    Rays beyond the capacity are dropped and counted (`dropped`); the
+    caller grows the capacity and re-specializes (the capacity-bucket
+    pattern; see shading.shade_hits_compacted). This is the alpha-side
+    analog of the driver BVH cull the reference gets for free
+    (contrib/nv_helpers_dx12).
+    """
+    n = origins.shape[1]
+    k = k_alpha
+    a_cap = scene.alpha_idx.shape[0]
+    # The cull+compact detour costs ~2 ms of gathers/scatters at 480p;
+    # it only wins once the raw sweep is the bigger term (large alpha
+    # lists). Small lists take the direct sweep.
+    if compact_capacity and 0 < compact_capacity < n and a_cap > 256:
+        from rt64tpu.ops.shading import compact_indices
+
+        ids = scene.alpha_idx
+        safe_t = jnp.maximum(ids, 0)
+        alive = (ids >= 0)[None]
+        g3 = lambda a: a[:, safe_t]
+        av0, av1, av2 = g3(scene.v0), g3(scene.v1), g3(scene.v2)
+        big = jnp.float32(_BIG)
+        lo = jnp.where(alive, jnp.minimum(jnp.minimum(av0, av1), av2), big)
+        hi = jnp.where(alive, jnp.maximum(jnp.maximum(av0, av1), av2), -big)
+        ch = 128
+        pad_c = (-a_cap) % ch
+        if pad_c:
+            lo = jnp.concatenate([lo, jnp.full((3, pad_c), big)], axis=1)
+            hi = jnp.concatenate([hi, jnp.full((3, pad_c), -big)], axis=1)
+        nch = (a_cap + pad_c) // ch
+        lo_c = lo.reshape(3, nch, ch).min(axis=2)
+        hi_c = hi.reshape(3, nch, ch).max(axis=2)
+        hit_c = _slab_any(origins, dirs, t_min, t_max, lo_c, hi_c)
+        ray_mask = hit_c.any(axis=1)
+
+        idx, count = compact_indices(ray_mask, compact_capacity)
+        safe_r = jnp.minimum(idx, n - 1)
+        live_r = idx < n
+        o_c = origins[:, safe_r]
+        d_c = dirs[:, safe_r]
+        tmin_c = t_min[safe_r]
+        tmax_c = jnp.where(live_r, t_max[safe_r], tmin_c - 1.0)
+        t_cc, tri_cc, uv_cc, b_cc = _alpha_sweep(
+            o_c, d_c, tmin_c, tmax_c, scene, k, cull_backface, chunk
+        )
+        t_a = jnp.full((n, k), _BIG, jnp.float32).at[idx].set(
+            t_cc, mode="drop")
+        tri_a = jnp.full((n, k), -1, jnp.int32).at[idx].set(
+            tri_cc, mode="drop")
+        uv_a = jnp.zeros((n, k, 2), jnp.float32).at[idx].set(
+            uv_cc, mode="drop")
+        b_a = jnp.zeros((n, k), jnp.float32).at[idx].set(b_cc, mode="drop")
+        return (t_a, tri_a, uv_a, b_a,
+                jnp.maximum(count - compact_capacity, 0))
+    t_a, tri_a, uv_a, b_a = _alpha_sweep(
+        origins, dirs, t_min, t_max, scene, k, cull_backface, chunk
+    )
+    return t_a, tri_a, uv_a, b_a, jnp.int32(0)
+
+
+def _slab_any(origins, dirs, t_min, t_max, lo, hi):
+    """Per-ray slab test vs M boxes -> hit (N, M). Conservative:
+    near-parallel axes constrain nothing; inverted boxes never hit."""
+    n = origins.shape[1]
+    m = lo.shape[1]
+    t_lo = jnp.full((n, m), -jnp.inf)
+    t_hi = jnp.full((n, m), jnp.inf)
+    for c in range(3):
+        o = origins[c][:, None]
+        d = dirs[c]
+        par = (jnp.abs(d) <= 1e-12)[:, None]
+        idir = (1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0))[:, None]
+        ta = (lo[c][None, :] - o) * idir
+        tb = (hi[c][None, :] - o) * idir
+        t_lo = jnp.maximum(t_lo, jnp.where(par, -_BIG, jnp.minimum(ta, tb)))
+        t_hi = jnp.minimum(t_hi, jnp.where(par, _BIG, jnp.maximum(ta, tb)))
+    t_lo = t_lo - jnp.abs(t_lo) * 1e-5 - 1e-4
+    t_hi = t_hi + jnp.abs(t_hi) * 1e-5 + 1e-4
+    hit = (t_lo <= t_hi) & (t_hi >= t_min[:, None]) & (t_lo <= t_max[:, None])
+    box_ok = jnp.all(lo <= hi, axis=0)
+    return hit & box_ok[None, :]
+
+
+def _alpha_sweep(
+    origins, dirs, t_min, t_max, scene: TraceScene, k_alpha: int,
+    cull_backface: bool, chunk: int = 256,
+):
+    """The raw O(rays x alpha-list) K-hit sweep (see trace_alpha).
+
+    Returns (t_biased (N, K), tri (N, K), uv (N, K, 2), bias (N, K)):
+    the depth bias of each extracted hit rides as a masked-reduce
+    payload, so callers recover the true t as key + bias with NO
+    per-hit gather (the (N, K) bias gather was a top-10 frame cost).
     """
     n = origins.shape[1]
     a_cap = scene.alpha_idx.shape[0]
@@ -305,13 +406,14 @@ def trace_alpha(
     tri_a = jnp.full((n, k), -1, jnp.int32)
     u_a = jnp.zeros((n, k), jnp.float32)
     v_a = jnp.zeros((n, k), jnp.float32)
+    b_a = jnp.zeros((n, k), jnp.float32)
     if a_cap == 0:
-        return t_a, tri_a, jnp.zeros((n, k, 2), jnp.float32)
+        return t_a, tri_a, jnp.zeros((n, k, 2), jnp.float32), b_a
     chunk = min(chunk, a_cap)
     rays = _Rays.of(origins, dirs, t_min, t_max)
 
     def step(carry, ids):
-        t_a, tri_a, u_a, v_a = carry
+        t_a, tri_a, u_a, v_a, b_a = carry
         live = ids >= 0
         ids_s = jnp.maximum(ids, 0)
         g3 = lambda a: a[:, ids_s]
@@ -321,21 +423,23 @@ def trace_alpha(
             g(scene.no_cull), cull_backface,
         )
         hit = hit & live[None, :]
-        key = jnp.where(hit, t - g(scene.bias)[None, :], _BIG)
-        ext = _extract_k_smallest(key, ids[None, :], k, payloads=(u, v))
-        if single_chunk:
-            return ext, None
-        ext_t, ext_tri, ext_u, ext_v = ext
-        merged = _extract_k_smallest(
+        bias_row = jnp.broadcast_to(g(scene.bias)[None, :], t.shape)
+        key = jnp.where(hit, t - bias_row, _BIG)
+        ext = _extract_k_smallest(key, ids[None, :], k,
+                                  payloads=(u, v, bias_row))
+        ext_t, ext_tri, ext_u, ext_v, ext_b = ext
+        if first_chunk[0]:
+            return (ext_t, ext_tri, ext_u, ext_v, ext_b)
+        return _extract_k_smallest(
             jnp.concatenate([t_a, ext_t], axis=1),
             jnp.concatenate([tri_a, ext_tri], axis=1),
             k,
             payloads=(
                 jnp.concatenate([u_a, ext_u], axis=1),
                 jnp.concatenate([v_a, ext_v], axis=1),
+                jnp.concatenate([b_a, ext_b], axis=1),
             ),
         )
-        return merged, None
 
     alpha_idx = scene.alpha_idx
     pad = (-a_cap) % chunk
@@ -344,15 +448,16 @@ def trace_alpha(
             [alpha_idx, jnp.full((pad,), -1, jnp.int32)]
         )
     ids_chunks = alpha_idx.reshape(-1, chunk)
-    single_chunk = ids_chunks.shape[0] == 1
-    if single_chunk:
-        (t_a, tri_a, u_a, v_a), _ = step((t_a, tri_a, u_a, v_a), ids_chunks[0])
-    else:
-        (t_a, tri_a, u_a, v_a), _ = jax.lax.scan(
-            step, (t_a, tri_a, u_a, v_a), ids_chunks
-        )
+    # Unrolled chunk loop (chunk count is static and small): a lax.scan
+    # here fences the schedule like every other control-flow construct.
+    first_chunk = [True]
+    carry = (t_a, tri_a, u_a, v_a, b_a)
+    for ci in range(ids_chunks.shape[0]):
+        carry = step(carry, ids_chunks[ci])
+        first_chunk[0] = False
+    t_a, tri_a, u_a, v_a, b_a = carry
     uv_a = jnp.stack([u_a, v_a], axis=-1)  # (N, K, 2)
-    return t_a, tri_a, uv_a
+    return t_a, tri_a, uv_a, b_a
 
 
 def trace(
@@ -365,6 +470,7 @@ def trace(
     cull_backface: bool = True,
     chunk: int = 512,
     opaque_fn=None,
+    alpha_compact: int = 0,
 ) -> Hits:
     """Trace rays against the full scene.
 
@@ -378,19 +484,21 @@ def trace(
         origins, dirs, t_min, t_max, scene, cull_backface=cull_backface,
         chunk=chunk,
     )
+    a_dropped = jnp.int32(0)
     if k_alpha > 0 and scene.has_alpha is not False:
         n = origins.shape[1]
         k = k_alpha
 
         def run_alpha(_):
             return trace_alpha(
-                origins, dirs, t_min, t_max, scene, k_alpha, cull_backface
+                origins, dirs, t_min, t_max, scene, k_alpha, cull_backface,
+                compact_capacity=alpha_compact,
             )
 
         if scene.has_alpha:
             # Host knows alpha exists: compile the sweep in directly
             # (no conditional — see TraceScene.has_alpha).
-            t_ab, tri_a, uv_a = run_alpha(None)
+            t_ab, tri_a, uv_a, b_a, a_dropped = run_alpha(None)
         else:
             # Unknown (has_alpha None): skip the sweep at runtime when
             # the compacted list is empty (lax.cond runs one branch).
@@ -399,10 +507,12 @@ def trace(
                     jnp.full((n, k), _BIG, jnp.float32),
                     jnp.full((n, k), -1, jnp.int32),
                     jnp.zeros((n, k, 2), jnp.float32),
+                    jnp.zeros((n, k), jnp.float32),
+                    jnp.int32(0),
                 )
 
             any_alpha = jnp.any(scene.alpha_idx >= 0)
-            t_ab, tri_a, uv_a = jax.lax.cond(
+            t_ab, tri_a, uv_a, b_a, a_dropped = jax.lax.cond(
                 any_alpha, run_alpha, skip_alpha, None
             )
         # Alpha hits at/behind the opaque hit can never contribute.
@@ -417,25 +527,30 @@ def trace(
         t_ab = jnp.full((n, k), _BIG, jnp.float32)
         tri_a = jnp.full((n, k), -1, jnp.int32)
         uv_a = jnp.zeros((n, k, 2), jnp.float32)
+        b_a = jnp.zeros((n, k), jnp.float32)
 
     # Unbias: stored keys are t - bias; recover true t for positions
-    # (WithoutDistanceBias, Instances.hlsli).
-    unbias = lambda tb, tri: jnp.where(
-        tri >= 0, tb + scene.bias[jnp.maximum(tri, 0)], _BIG
+    # (WithoutDistanceBias, Instances.hlsli). The alpha side's bias rode
+    # the K-extraction as a payload (no gather); the opaque side's is
+    # one (N,) gather.
+    t_op_true = jnp.where(
+        tri_op >= 0, t_opb + scene.bias[jnp.maximum(tri_op, 0)], _BIG
     )
+    t_a_true = jnp.where(tri_a >= 0, t_ab + b_a, _BIG)
     return Hits(
-        t_op=unbias(t_opb, tri_op),
+        t_op=t_op_true,
         tri_op=tri_op,
         uv_op=uv_op,
-        t_a=unbias(t_ab, tri_a),
+        t_a=t_a_true,
         tri_a=tri_a,
         uv_a=uv_a,
+        alpha_dropped=a_dropped,
     )
 
 
 def trace_shadow(
     origins, dirs, t_min, t_max, scene: TraceScene, k_alpha: int,
-    chunk: int = 512, opaque_fn=None,
+    chunk: int = 512, opaque_fn=None, alpha_compact: int = 0,
 ) -> Hits:
     """Shadow-ray trace (TraceShadow, Lights.hlsli:27-53).
 
@@ -448,4 +563,5 @@ def trace_shadow(
     return trace(
         origins, dirs, t_min, t_max, scene,
         k_alpha=k_alpha, cull_backface=False, chunk=chunk, opaque_fn=opaque_fn,
+        alpha_compact=alpha_compact,
     )

@@ -355,6 +355,7 @@ def _fold_shaded_slots(
         origins, dirs, t_min, t_max, trace_scene,
         k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
         opaque_fn=_opaque_fn(cfg),
+        alpha_compact=max(1024, (dirs.shape[1] // 4) * cfg.alpha_shade_boost),
     )
 
     # Alpha slots are sparse (a few % of rays, foliage fringes): shade
@@ -368,7 +369,7 @@ def _fold_shaded_slots(
     # slots out entirely.
     cap = max(512, (dirs.shape[1] // 8) * cfg.alpha_shade_boost)
     n_alpha_slots = 0 if trace_scene.has_alpha is False else k_alpha
-    dropped = jnp.int32(0)
+    dropped = hits.alpha_dropped
     for s in range(n_alpha_slots):
         sh, drop_s = shade_ops.shade_hits_compacted(
             sb, tri_rows, dirs, hits.tri_a[:, s], hits.uv_a[:, s, 0],
@@ -547,6 +548,7 @@ def primary_pass(
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
+        alpha_compact=max(1024, (tl_pos.shape[1] // 8) * cfg.alpha_shade_boost),
     )
     alpha_dropped = alpha_dropped + tl_dropped
     res_transparent = res_transparent + trans_lit_sum * tl_light
@@ -635,6 +637,7 @@ def direct_pass(
         max_light_count=cfg.max_lights, di_samples=cfg.di_samples,
         check_shadows=True, noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
+        alpha_compact=max(1024, (g.position.shape[1] // 8) * cfg.alpha_shade_boost),
     )
     res = res + ctx.self_light
 
@@ -758,6 +761,7 @@ def indirect_pass(
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
             opaque_fn=_shadow_fn(cfg),
+            alpha_compact=max(1024, (res_pos.shape[1] // 8) * cfg.alpha_shade_boost),
         )
         bounce = (
             res_rgb * (1.0 - res_a)[None]
@@ -925,6 +929,7 @@ def _refraction_impl(
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
+        alpha_compact=max(1024, (pos.shape[1] // 8) * cfg.alpha_shade_boost),
     )
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
     rgb = jnp.where((inst >= 0)[None], rgb * (ambient + direct + ctx.self_light), rgb)
