@@ -22,19 +22,40 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
+# BASELINE.md config ladder presets (scene, w, h, di, gi, reflections).
+CONFIGS = {
+    1: ("sample", 320, 240, 1, 0, 0),   # primary + hard shadows
+    2: ("castle", 640, 480, 1, 0, 0),   # streamed castle + combiner + DI
+    3: ("castle", 1280, 720, 1, 1, 0),  # + 1-bounce GI
+    4: ("castle", 1280, 720, 1, 1, 2),  # + reflections/refraction/alpha
+    5: ("castle", 1920, 1080, 1, 1, 2), # full pipeline at 1080p
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=320)
-    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--config", type=int, choices=sorted(CONFIGS), default=1,
+                    help="BASELINE.md ladder config (default: 1, the "
+                         "lowest rung currently at vs_baseline >= 1)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--di", type=int, default=1)
-    ap.add_argument("--gi", type=int, default=1)
-    ap.add_argument("--reflections", type=int, default=2)
+    ap.add_argument("--di", type=int, default=None)
+    ap.add_argument("--gi", type=int, default=None)
+    ap.add_argument("--reflections", type=int, default=None)
     ap.add_argument("--target-fps", type=float, default=60.0)
-    ap.add_argument("--scene", choices=["sample", "castle"], default="sample",
+    ap.add_argument("--scene", choices=["sample", "castle"], default=None,
                     help="castle = castle-grounds analog (the BASELINE workload)")
     args = ap.parse_args()
+    c_scene, c_w, c_h, c_di, c_gi, c_refl = CONFIGS[args.config]
+    args.scene = args.scene if args.scene is not None else c_scene
+    args.width = args.width if args.width is not None else c_w
+    args.height = args.height if args.height is not None else c_h
+    args.di = args.di if args.di is not None else c_di
+    args.gi = args.gi if args.gi is not None else c_gi
+    args.reflections = (args.reflections if args.reflections is not None
+                        else c_refl)
 
     import jax
     from functools import partial
@@ -92,7 +113,7 @@ def main():
     mrays = n * rays_per_pixel * fps / 1e6
 
     print(json.dumps({
-        "metric": f"fps@{args.width}x{args.height} ({args.scene} scene, di={args.di} gi={args.gi} refl={args.reflections}; {mrays:.0f} Mrays/s)",
+        "metric": f"fps@{args.width}x{args.height} (BASELINE config {args.config}: {args.scene} scene, di={args.di} gi={args.gi} refl={args.reflections}; {mrays:.0f} Mrays/s)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / args.target_fps, 3),
