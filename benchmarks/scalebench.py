@@ -13,8 +13,17 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+def _enable_cache():
+    # This jax version ignores JAX_COMPILATION_CACHE_DIR set in-process.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+
+
+_enable_cache()
 
 import numpy as np
 import jax

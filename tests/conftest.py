@@ -14,10 +14,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+
 # The axon TPU plugin force-sets jax_platforms to "axon,cpu" during
 # import, overriding the JAX_PLATFORMS env var — so the env var alone
 # does NOT pin tests to CPU. Override the config after import.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat suite runs skip the (dominant)
+# full-frame XLA compiles. NOTE this jax version ignores the
+# JAX_COMPILATION_CACHE_DIR env var when it is set after process start;
+# the config update is the reliable path.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -60,7 +60,9 @@ def test_temporal_accumulation_progresses(sample):
 def test_visualization_modes_render():
     from rt64tpu import descriptors as d
 
-    dev, scene, view = build_sample_scene(width=64, height=48)
+    # gi_samples=0 keeps the jitted frame small: this test compiles 3
+    # distinct vis-mode programs on the single-core CPU backend.
+    dev, scene, view = build_sample_scene(width=64, height=48, gi_samples=0)
     for mode in (d.VISUALIZATION_MODE_SHADING_NORMAL,
                  d.VISUALIZATION_MODE_DEPTH,
                  d.VISUALIZATION_MODE_INSTANCE_ID):
@@ -74,7 +76,7 @@ def test_raster_hud_and_background():
     import rt64tpu
     from rt64tpu.utils.testscenes import build_sample_scene, hud_triangle
 
-    dev, scene, view = build_sample_scene(width=64, height=48)
+    dev, scene, view = build_sample_scene(width=64, height=48, gi_samples=0)
     hud = hud_triangle(scene, dev, color=(1.0, 0.1, 0.1, 1.0))
     bg = hud_triangle(scene, dev, color=(0.1, 0.9, 0.1, 1.0), background=True)
     dev.draw()
