@@ -25,16 +25,24 @@ class UpscaleNet(nn.Module):
     """Residual predictor over bilinear upscaling.
 
     Inputs at display resolution: upscaled color (3), depth (1), flow
-    (2), reactive (1). Output: rgb residual.
+    (2), reactive (1). Output: rgb residual. Zero-init final conv keeps
+    untrained parameters identity-ish. A dilated middle stage widens
+    the receptive field (edge reconstruction) without extra resolution
+    levels; all convs run on the MXU in bf16.
     """
 
-    features: int = 16
+    features: int = 32
 
     @nn.compact
     def __call__(self, x):  # x: (H, W, 7)
         h = nn.Conv(self.features, (3, 3), dtype=jnp.bfloat16)(x)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), dtype=jnp.bfloat16)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), kernel_dilation=(2, 2),
+                    dtype=jnp.bfloat16)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features // 2, (3, 3), dtype=jnp.bfloat16)(h)
         h = nn.relu(h)
         h = nn.Conv(3, (3, 3), dtype=jnp.bfloat16,
                     kernel_init=nn.initializers.zeros)(h)

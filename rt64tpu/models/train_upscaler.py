@@ -24,42 +24,66 @@ import optax
 from rt64tpu.models import learned_upscaler as lu
 
 
-def render_pair(seed: int, lo=(96, 128), hi=(192, 256)):
-    """Render one (inputs, target) pair from a randomized sample scene."""
-    from rt64tpu import descriptors as d
+def render_pairs(n: int, scene_kind="sample", lo=(96, 128), hi=(192, 256),
+                 seed0=0):
+    """Render n (inputs, target) pairs from randomized cameras.
+
+    scene_kind "sample" orbits the sphere+floor scene; "castle" orbits
+    the castle-grounds analog (the BASELINE workload the model serves).
+    Each (kind, resolution) scene is built ONCE and only the camera
+    moves between renders — one jitted frame per configuration instead
+    of a rebuild per pair.
+    """
     from rt64tpu.ops import math3d
-    from rt64tpu.utils.testscenes import build_sample_scene
 
-    rng = np.random.default_rng(seed)
-    angle = rng.uniform(0, 2 * np.pi)
-    height = rng.uniform(2.0, 5.0)
-    dist = rng.uniform(7.0, 11.0)
-    eye = (dist * np.sin(angle), height, dist * np.cos(angle))
-
-    frames = {}
+    views = {}
     for tag, (h, w) in (("lo", lo), ("hi", hi)):
-        dev, scene, view = build_sample_scene(
-            width=w, height=h, sphere_reflection=rng.uniform(0.0, 0.5)
-        )
-        vm = math3d.look_at_rh(eye, (0.0, 1.2, 0.0), (0.0, 1.0, 0.0))
-        view.set_perspective(vm, 45.0 * np.pi / 180.0, 0.1, 1000.0, True)
-        dev.draw()
-        out = view._renderer._last
-        frames[tag] = out
-    lo_out = frames["lo"]
-    g = lo_out.gbuffers
+        if scene_kind == "castle":
+            from rt64tpu.utils.castle_scene import build_castle_scene
+
+            dev, scene, view = build_castle_scene(width=w, height=h,
+                                                  gi_samples=0)
+        else:
+            from rt64tpu.utils.testscenes import build_sample_scene
+
+            dev, scene, view = build_sample_scene(width=w, height=h)
+        views[tag] = (dev, view)
+
+    rng = np.random.default_rng(seed0)
+    pairs = []
     hl, wl = lo
-    inputs = dict(
-        rt_color=np.asarray(lo_out.rt_output),
-        depth=np.asarray(g.depth.reshape(hl, wl)),
-        flow=np.asarray(g.flow.reshape(2, hl, wl)),
-        reactive=np.asarray(g.reactive.reshape(hl, wl)),
-    )
-    target = np.asarray(frames["hi"].rt_output)
-    return inputs, target
+    for _ in range(n):
+        angle = rng.uniform(0, 2 * np.pi)
+        if scene_kind == "castle":
+            height = rng.uniform(8.0, 20.0)
+            dist = rng.uniform(40.0, 80.0)
+            target_pt = (0.0, 6.0, 0.0)
+        else:
+            height = rng.uniform(2.0, 5.0)
+            dist = rng.uniform(7.0, 11.0)
+            target_pt = (0.0, 1.2, 0.0)
+        eye = (dist * np.sin(angle), height, dist * np.cos(angle))
+        vm = math3d.look_at_rh(eye, target_pt, (0.0, 1.0, 0.0))
+        frames = {}
+        for tag, (dev, view) in views.items():
+            view.set_perspective(vm, 45.0 * np.pi / 180.0, 0.1, 1000.0, True)
+            dev.draw()
+            frames[tag] = view._renderer._last
+        g = frames["lo"].gbuffers
+        inputs = dict(
+            rt_color=np.asarray(frames["lo"].rt_output),
+            depth=np.asarray(g.depth.reshape(hl, wl)),
+            flow=np.asarray(g.flow.reshape(2, hl, wl)),
+            reactive=np.asarray(g.reactive.reshape(hl, wl)),
+        )
+        pairs.append((inputs, np.asarray(frames["hi"].rt_output)))
+    return pairs
 
 
 def loss_fn(params, batch, dh, dw):
+    """L2 + image-gradient loss: the gradient term pushes the net toward
+    edge reconstruction instead of the blur that plain MSE rewards when
+    the hi-res target carries different per-frame sampling noise."""
     preds = []
     for inputs, _ in batch:
         pred = lu._run(
@@ -73,27 +97,78 @@ def loss_fn(params, batch, dh, dw):
         preds.append(pred)
     targets = jnp.stack([jnp.asarray(t) for _, t in batch])
     preds = jnp.stack(preds)
-    return jnp.mean((preds - targets) ** 2)
+    mse = jnp.mean((preds - targets) ** 2)
+    gx = lambda a: a[..., :, 1:] - a[..., :, :-1]
+    gy = lambda a: a[..., 1:, :] - a[..., :-1, :]
+    grad = (jnp.mean(jnp.abs(gx(preds) - gx(targets)))
+            + jnp.mean(jnp.abs(gy(preds) - gy(targets))))
+    return mse + 0.5 * grad
+
+
+def _eval(params, pairs, dh, dw):
+    """Mean SSIM of the net vs bilinear on held-out pairs."""
+    from rt64tpu.utils.ssim import ssim
+    from rt64tpu.ops import filters
+
+    s_net, s_bil = [], []
+    for inputs, target in pairs:
+        pred = np.asarray(lu._run(
+            params, jnp.asarray(inputs["rt_color"]),
+            jnp.asarray(inputs["depth"]), jnp.asarray(inputs["flow"]),
+            jnp.asarray(inputs["reactive"]), dh, dw,
+        ))
+        bil = np.asarray(filters.bilinear_resize(
+            jnp.asarray(inputs["rt_color"]), dh, dw))
+        to_img = lambda a: np.clip(np.moveaxis(a, 0, -1), 0, 1)
+        s_net.append(ssim(to_img(pred), to_img(target), data_range=1.0))
+        s_bil.append(ssim(to_img(bil), to_img(target), data_range=1.0))
+    return float(np.mean(s_net)), float(np.mean(s_bil))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--pairs", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--pairs", type=int, default=8,
+                    help="pairs per scene kind (sample + castle)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=lu._PARAMS_CACHE)
+    ap.add_argument("--data", default="/tmp/upscaler_pairs.npz",
+                    help="dataset cache; delete to re-render")
     args = ap.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    print(f"rendering {args.pairs} training pairs...")
-    batch = [render_pair(seed) for seed in range(args.pairs)]
+    if args.data and os.path.exists(args.data):
+        print("loading cached pairs from", args.data)
+        z = np.load(args.data)
+        n_cached = int(z["n"])
+        batch = []
+        for i in range(n_cached):
+            inputs = {k: z[f"{i}_{k}"]
+                      for k in ("rt_color", "depth", "flow", "reactive")}
+            batch.append((inputs, z[f"{i}_target"]))
+    else:
+        print(f"rendering {args.pairs} sample + {args.pairs} castle pairs...")
+        batch = render_pairs(args.pairs, scene_kind="sample", seed0=7)
+        batch += render_pairs(args.pairs, scene_kind="castle", seed0=1007)
+        if args.data:
+            flat = {"n": np.int32(len(batch))}
+            for i, (inputs, target) in enumerate(batch):
+                for k, v in inputs.items():
+                    flat[f"{i}_{k}"] = v
+                flat[f"{i}_target"] = target
+            np.savez(args.data, **flat)
+            print("cached pairs to", args.data)
+    # Hold out the last pair of each kind for the SSIM report.
+    heldout = [batch.pop(args.pairs - 1), batch.pop()]
     dh, dw = batch[0][1].shape[1:]
 
     params = lu.get_params()
-    opt = optax.adam(args.lr)
+    opt = optax.adam(
+        optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+    )
     opt_state = opt.init(params)
     grad_fn = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, batch, dh, dw)))
 
@@ -101,8 +176,12 @@ def main():
         loss, grads = grad_fn(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        if step % 10 == 0 or step == args.steps - 1:
+        if step % 25 == 0 or step == args.steps - 1:
             print(f"step {step}: mse {float(loss):.6f}")
+
+    s_net, s_bil = _eval(params, heldout, dh, dw)
+    print(f"held-out SSIM vs native 2x: net {s_net:.4f} "
+          f"(bilinear {s_bil:.4f})")
 
     leaves = jax.tree_util.tree_leaves(params)
     flat = {f"{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
