@@ -142,13 +142,34 @@ def get_table() -> np.ndarray:
     return _table
 
 
+def packed_table() -> np.ndarray:
+    """The table as a flat (F*T*T,) uint32 plane: r | g<<8 | b<<16.
+
+    The source values are unorm8/255, so the u32 packing is exact. One
+    scalar gather per sample replaces a 3-wide row gather from the 4-D
+    float table (the float layout profiled at ~3.6 ms per blue-noise
+    fetch on a 480p frame)."""
+    t = np.round(get_table() * 255.0).astype(np.uint32)
+    packed = t[..., 0] | (t[..., 1] << 8) | (t[..., 2] << 16)
+    return packed.reshape(-1)
+
+
 def get_blue_noise(table, pixel_xy, frame_count):
     """getBlueNoise (BlueNoise.hlsli:7-12): (..., 3) values.
 
-    table: (64, 64, 64, 3) jnp array; pixel_xy: (..., 2) int (x, y);
+    table: flat (F*T*T,) uint32 (packed_table) or the legacy
+    (64, 64, 64, 3) float table; pixel_xy: (..., 2) int (x, y);
     frame_count: scalar or (...,) int.
     """
-    f = jnp.remainder(jnp.asarray(frame_count, jnp.int32), table.shape[0])
+    f = jnp.remainder(jnp.asarray(frame_count, jnp.int32), _FRAMES)
     px = jnp.remainder(pixel_xy[..., 0], _TILE)
     py = jnp.remainder(pixel_xy[..., 1], _TILE)
+    if table.ndim == 1:
+        v = table[(f * _TILE + py) * _TILE + px]
+        inv = jnp.float32(1.0 / 255.0)
+        return jnp.stack(
+            [(v & 0xFF).astype(jnp.float32) * inv,
+             ((v >> 8) & 0xFF).astype(jnp.float32) * inv,
+             ((v >> 16) & 0xFF).astype(jnp.float32) * inv], axis=-1,
+        )
     return table[f, py, px]

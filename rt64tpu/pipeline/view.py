@@ -35,7 +35,7 @@ class ViewRenderer:
         self._pending = None
         device = view.scene.device
         self.packer = ScenePacker(device.limits)
-        self.bn_table = jnp.asarray(bluenoise.get_table())
+        self.bn_table = jnp.asarray(bluenoise.packed_table())
         self.history: Optional[fg.History] = None
         self.active_instances = []
         self._sb = None
