@@ -147,7 +147,7 @@ def main():
     ldirn = ldir / jnp.maximum(ldist, 1e-9)[None]
 
     def shadow_step(c):
-        f = lighting.trace_shadow_factor(
+        f, _ = lighting.trace_shadow_factor(
             sb, tri_rows, trace_scene, g.position, ldirn,
             t_min + c * 0, ldist, noise_rand, cfg.k_shadow,
             opaque_fn=shadow_fn)
@@ -156,19 +156,19 @@ def main():
     bench("shadow_trace_1light", shadow_step)
 
     def direct_step(c):
-        acc = fg.direct_pass(
+        acc, _ = fg.direct_pass(
             sb, tri_rows, trace_scene, cfg, gp, g, hist, pix, bn,
             noise_rand + c * 0)
-        return c + acc.sum() * 0 + 1
+        return c + acc[0].sum() * 0 + 1
 
     bench("direct_pass", direct_step)
 
     if args.gi > 0:
         def indirect_step(c):
-            acc = fg.indirect_pass(
+            acc, _ = fg.indirect_pass(
                 sb, tri_rows, trace_scene, cfg, gp, g, hist, pix, bn,
                 noise_rand + c * 0, bg)
-            return c + acc.sum() * 0 + 1
+            return c + acc[0].sum() * 0 + 1
 
         bench("indirect_pass", indirect_step)
 

@@ -161,8 +161,12 @@ def main():
                 flat[f"{i}_target"] = target
             np.savez(args.data, **flat)
             print("cached pairs to", args.data)
-    # Hold out the last pair of each kind for the SSIM report.
-    heldout = [batch.pop(args.pairs - 1), batch.pop()]
+    # Hold out the last pair of each kind for the SSIM report. The kind
+    # boundary is derived from the actual dataset size (a cached .npz may
+    # have been produced with a different --pairs), so the held-out pairs
+    # are never ones the model trains on.
+    half = len(batch) // 2
+    heldout = [batch.pop(half - 1), batch.pop()]
     dh, dw = batch[0][1].shape[1:]
 
     params = lu.get_params()

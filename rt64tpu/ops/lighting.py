@@ -64,6 +64,7 @@ def ctx_from_rows(rows_t, valid):
 def trace_shadow_factor(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, noise_rand,
     k_alpha: int, opaque_fn=None, alpha_compact: int = 0,
+    shade_boost: int = 1,
 ):
     """TraceShadow: 1 = lit, 0 = fully shadowed.
 
@@ -86,9 +87,13 @@ def trace_shadow_factor(
         # Alpha hits along shadow rays are ~1% of lanes: shade only the
         # hit lanes (compaction; overflow surfaced through `dropped`).
         # No lax.cond anywhere — conditionals fence the DMA schedule.
+        # Capacity scales with the view's alpha_shade_boost so the
+        # re-specialization loop (view.py:92-107) can actually converge
+        # when shadow-ray alpha occupancy exceeds the 1/8 default.
         hs, sh_dropped = shade_ops.shade_hits_compacted(
             sb, tri_rows, dirs_flat, tri_flat, u_flat, v_flat,
-            jnp.tile(noise_rand, k_alpha), max(512, (k_alpha * n) // 8),
+            jnp.tile(noise_rand, k_alpha),
+            max(512, (k_alpha * n) // 8) * max(shade_boost, 1),
             shadow_variant=True,
         )
         alpha_sum = hs.color[3].reshape(k_alpha, n).sum(0)
@@ -149,6 +154,7 @@ def compute_light(
     opaque_fn=None,
     live=None,  # (N,) bool: rays worth tracing (inactive skip blocks)
     alpha_compact: int = 0,
+    shade_boost: int = 1,
 ):
     """ComputeLight (Lights.hlsli:70-113) for one selected light/pixel."""
     sel = lambda col: _select_light(sb.lights[:, col], chosen)
@@ -201,6 +207,7 @@ def compute_light(
                 tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias,
                 s_tmax, noise_rand, shadow_k_alpha,
                 opaque_fn=opaque_fn, alpha_compact=alpha_compact,
+                shade_boost=shade_boost,
             )
         else:
             s_shadow = jnp.ones_like(s_lambert)
@@ -231,7 +238,7 @@ def compute_lights_random(
     ray_dir, position, normal, specular, ctx: LightingCtx,
     max_light_count: int, di_samples: int, check_shadows: bool,
     noise_rand, shadow_k_alpha: int = 1, opaque_fn=None,
-    alpha_compact: int = 0,
+    alpha_compact: int = 0, shade_boost: int = 1,
 ):
     """ComputeLightsRandom (Lights.hlsli:115-168), fully vectorized."""
     L = sb.lights.shape[0]
@@ -271,6 +278,7 @@ def compute_lights_random(
             chosen, ray_dir, position, normal, specular, ctx,
             di_samples, check_shadows, noise_rand, shadow_k_alpha,
             opaque_fn=opaque_fn, live=active, alpha_compact=alpha_compact,
+            shade_boost=shade_boost,
         )
         result = result + jnp.where(active[None], contrib * inv_prob[None], 0.0)
         random_range = random_range - jnp.where(active, c_int, 0.0)

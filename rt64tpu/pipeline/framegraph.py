@@ -549,6 +549,7 @@ def primary_pass(
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
         alpha_compact=max(1024, (tl_pos.shape[1] // 8) * cfg.alpha_shade_boost),
+        shade_boost=cfg.alpha_shade_boost,
     )
     alpha_dropped = alpha_dropped + tl_dropped
     res_transparent = res_transparent + trans_lit_sum * tl_light
@@ -638,6 +639,7 @@ def direct_pass(
         check_shadows=True, noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
         alpha_compact=max(1024, (g.position.shape[1] // 8) * cfg.alpha_shade_boost),
+        shade_boost=cfg.alpha_shade_boost,
     )
     res = res + ctx.self_light
 
@@ -762,6 +764,7 @@ def indirect_pass(
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
             opaque_fn=_shadow_fn(cfg),
             alpha_compact=max(1024, (res_pos.shape[1] // 8) * cfg.alpha_shade_boost),
+            shade_boost=cfg.alpha_shade_boost,
         )
         bounce = (
             res_rgb * (1.0 - res_a)[None]
@@ -930,6 +933,7 @@ def _refraction_impl(
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
         alpha_compact=max(1024, (pos.shape[1] // 8) * cfg.alpha_shade_boost),
+        shade_boost=cfg.alpha_shade_boost,
     )
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
     rgb = jnp.where((inst >= 0)[None], rgb * (ambient + direct + ctx.self_light), rgb)

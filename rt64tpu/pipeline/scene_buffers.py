@@ -192,9 +192,16 @@ class ScenePacker:
     # -- geometry epoch -------------------------------------------------------
     def pack_geometry(self, instances: List[Instance]):
         lm = self.limits
+        # The alpha-class bit is part of the key: _alpha_class depends on
+        # the *material* (solid_alpha_multiplier), so a host-side material
+        # edit that flips an instance's class must force a re-pack — else
+        # alpha_triangle_count / alpha_cap / ShadeFeatures.has_alpha go
+        # stale and the statically-specialized trace drops the geometry.
         key = tuple(
             (id(inst), inst.desc.mesh.version if inst.desc.mesh else -1,
-             id(inst.desc.shader))
+             id(inst.desc.shader),
+             inst.desc.shader is not None
+             and self._alpha_class(inst.desc.shader, inst.desc.material))
             for inst in instances
         )
         if key == self._geometry_key:
