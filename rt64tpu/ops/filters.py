@@ -55,25 +55,41 @@ def gaussian_3x3(img):
     return taps(pad) / jnp.maximum(taps(ones), 1e-12)
 
 
-def bilinear_planar(img, su, sv):
-    """Bilinear fetch of a (C, H, W) planar image at uv (N,) each."""
+def quad_pack_planar(img):
+    """(C, H, W) -> (4C, H*W): the image plus its +x, +y and +xy
+    neighbor planes (edge-clamped), flattened. Cheap elementwise
+    shifts; lets a bilinear fetch be ONE planar row gather (TPU
+    gathers cost per-row, not per-byte)."""
     c, h, w = img.shape
+    xs = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    ys = jnp.concatenate([img[:, 1:, :], img[:, -1:, :]], axis=1)
+    xys = jnp.concatenate([ys[:, :, 1:], ys[:, :, -1:]], axis=2)
+    return jnp.concatenate([img, xs, ys, xys], 0).reshape(4 * c, h * w)
+
+
+def bilinear_quad(packed, c, h, w, su, sv):
+    """Bilinear fetch from a quad-packed image (quad_pack_planar):
+    one (4C, N) planar gather + vector blend. Returns (C, N)."""
     x = jnp.clip(su * w - 0.5, 0.0, w - 1.0)
     y = jnp.clip(sv * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     fx = (x - x0)[None]
     fy = (y - y0)[None]
-    flat = img.reshape(c, -1)
-    at = lambda yy, xx: flat[:, yy * w + xx]
+    g = packed[:, y0 * w + x0]  # (4C, N) — THE gather
+    p00, p10, p01, p11 = g[:c], g[c : 2 * c], g[2 * c : 3 * c], g[3 * c :]
     return (
-        at(y0, x0) * (1 - fx) * (1 - fy)
-        + at(y0, x1) * fx * (1 - fy)
-        + at(y1, x0) * (1 - fx) * fy
-        + at(y1, x1) * fx * fy
+        p00 * (1 - fx) * (1 - fy)
+        + p10 * fx * (1 - fy)
+        + p01 * (1 - fx) * fy
+        + p11 * fx * fy
     )
+
+
+def bilinear_planar(img, su, sv):
+    """Bilinear fetch of a (C, H, W) planar image at uv (N,) each."""
+    c, h, w = img.shape
+    return bilinear_quad(quad_pack_planar(img), c, h, w, su, sv)
 
 
 def _uv_grid(h, w):
@@ -107,18 +123,23 @@ def motion_blur(output, flow_img, resolution_xy, strength, samples: int):
         step = strength / samples
         start_u = su - flow_u * (strength * 0.5)
         start_v = sv - flow_v * (strength * 0.5)
+        packed = quad_pack_planar(output)  # once, outside the tap loop
 
         def body(s, acc):
             sf = s.astype(jnp.float32) * step
             uu = jnp.clip(start_u + flow_u * sf, 0.0, 1.0)
             vv = jnp.clip(start_v + flow_v * sf, 0.0, 1.0)
-            return acc + bilinear_planar(output, uu, vv)
+            return acc + bilinear_quad(packed, 3, h, w, uu, vv)
 
         acc = jax.lax.fori_loop(0, samples, body, jnp.zeros((3, h * w)))
         blurred = (acc / samples).reshape(3, h, w)
         active = (flow_len > 1e-6).reshape(1, h, w)
         return jnp.where(active, blurred, output)
 
-    # The whole 32-sample loop skips at runtime when motion blur is off
-    # (PostProcessPS's strength/samples guard, PostProcessPS.hlsl:14).
-    return jax.lax.cond(strength > 0.0, run, lambda o: o, output)
+    # The off-state skip is STATIC (RenderConfig.motion_blur_enabled,
+    # set by the view from the strength knob): a lax.cond here costs a
+    # multi-ms scheduling fence with display-size operands. A traced
+    # strength of exactly 0 still yields the identity (zero flow step,
+    # blurred == resampled output; flow_len masking keeps static pixels
+    # untouched), matching PostProcessPS.hlsl:14's guard semantics.
+    return run(output)

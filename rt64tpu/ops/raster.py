@@ -161,12 +161,13 @@ def _rasterize_all(
         filt = jnp.broadcast_to((sampler & 3) == 1, uv_u.shape)
         h_addr = jnp.broadcast_to((sampler >> 2) & 3, uv_u.shape)
         v_addr = jnp.broadcast_to((sampler >> 4) & 3, uv_u.shape)
+        # Per-triangle records are scalars: O(1) slice, no (N,) gather.
         rec_d = jnp.where(
             fl(R.F_USE_T0), irow[R.I_TEX_D].astype(jnp.int32), -1
         )
-        tex0 = tex_ops.sample_quad(
-            quad_pool, quad_records,
-            jnp.broadcast_to(rec_d, uv_u.shape), uv_u, uv_v,
+        d_off, d_w, d_h = tex_ops.scalar_record(quad_records, rec_d)
+        tex0 = tex_ops.sample_quad_cols(
+            quad_pool, d_off, d_w, d_h, rec_d >= 0, uv_u, uv_v,
             filt, h_addr, v_addr,
         )
         # TEXEL1: real second binding when set (TPU extension), else the
@@ -178,9 +179,9 @@ def _rasterize_all(
         rec_d2 = jnp.where(
             fl(R.F_USE_T1), irow[R.I_TEX_D2].astype(jnp.int32), -1
         )
-        tex1_samp = tex_ops.sample_quad(
-            quad_pool, quad_records,
-            jnp.broadcast_to(rec_d2, uv_u.shape), uv_u, uv_v,
+        d2_off, d2_w, d2_h = tex_ops.scalar_record(quad_records, rec_d2)
+        tex1_samp = tex_ops.sample_quad_cols(
+            quad_pool, d2_off, d2_w, d2_h, rec_d2 >= 0, uv_u, uv_v,
             filt, h_addr, v_addr,
         )
         tex1 = jnp.where(rec_d2 >= 0, tex1_samp, magenta)

@@ -109,10 +109,16 @@ def shade_hits(
     cc_items = R.unpack_cc(gt[R.T_CC], jnp).T  # (8, M)
     mat = lambda off: gt[R.T_MAT + off]
 
+    # Record fields ride the row (T_REC) — no per-pixel records gather.
+    rec_cols = lambda j: (
+        gt[R.T_REC + 3 * j], gt[R.T_REC + 3 * j + 1], gt[R.T_REC + 3 * j + 2]
+    )
     use_t0 = fl(R.F_USE_T0)
-    rec_d = jnp.where(use_t0 & valid, gt[R.T_TEX_D].astype(jnp.int32), -1)
-    tex0 = tex_ops.sample_quad(
-        sb.quad_pool, sb.quad_records, rec_d, uv_u, uv_v, filt, h_addr, v_addr
+    ok_t0 = use_t0 & valid & (gt[R.T_TEX_D] >= 0.0)
+    d_off, d_w, d_h = rec_cols(0)
+    tex0 = tex_ops.sample_quad_cols(
+        sb.quad_pool, d_off, d_w, d_h, ok_t0, uv_u, uv_v, filt, h_addr,
+        v_addr,
     )
     mix_r = mat(R.M_DIFFUSE_MIX)
     mix_g = mat(R.M_DIFFUSE_MIX + 1)
@@ -138,12 +144,13 @@ def shade_hits(
         tex1 = magenta
     else:
         use_t1 = fl(R.F_USE_T1)
-        rec_d2 = jnp.where(use_t1 & valid, gt[R.T_TEX_D2].astype(jnp.int32), -1)
-        samp = tex_ops.sample_quad(
-            sb.quad_pool, sb.quad_records, rec_d2, uv_u, uv_v, filt,
+        ok_t1 = use_t1 & valid & (gt[R.T_TEX_D2] >= 0.0)
+        d2_off, d2_w, d2_h = rec_cols(1)
+        samp = tex_ops.sample_quad_cols(
+            sb.quad_pool, d2_off, d2_w, d2_h, ok_t1, uv_u, uv_v, filt,
             h_addr, v_addr,
         )
-        tex1 = jnp.where((rec_d2 >= 0)[None], samp, magenta)
+        tex1 = jnp.where(ok_t1[None], samp, magenta)
 
     color = combiner_eval_planar(
         cc_items, fl(R.F_OPT_ALPHA), fl(R.F_ALPHA_SAME),
@@ -191,13 +198,13 @@ def shade_hits(
     # does, they run masked with no control flow.
     uv_scale = mat(R.M_UV_DETAIL)
     if feat is None or feat.has_normal_maps:
-        rec_n = gt[R.T_TEX_N].astype(jnp.int32)
-        do_nmap = fl(R.F_NORMAL_MAP) & (rec_n >= 0) & valid
+        do_nmap = fl(R.F_NORMAL_MAP) & (gt[R.T_TEX_N] >= 0.0) & valid
         tangent, binormal = tangent_binormal(gt, normal_preflip)
         tangent = tangent * normal_sign[None]
         binormal = binormal * normal_sign[None]
-        nmap = tex_ops.sample_quad(
-            sb.quad_pool, sb.quad_records, jnp.where(do_nmap, rec_n, -1),
+        n_off, n_w, n_h = rec_cols(2)
+        nmap = tex_ops.sample_quad_cols(
+            sb.quad_pool, n_off, n_w, n_h, do_nmap,
             uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
         )
         ncol = nmap[:3] * 2.0 - 1.0
@@ -209,10 +216,10 @@ def shade_hits(
 
     # --- specular map (rt64_shader.cpp:539-545) -----------------------------
     if feat is None or feat.has_specular_maps:
-        rec_s = gt[R.T_TEX_S].astype(jnp.int32)
-        do_smap = fl(R.F_SPECULAR_MAP) & (rec_s >= 0) & valid
-        smap = tex_ops.sample_quad(
-            sb.quad_pool, sb.quad_records, jnp.where(do_smap, rec_s, -1),
+        do_smap = fl(R.F_SPECULAR_MAP) & (gt[R.T_TEX_S] >= 0.0) & valid
+        s_off, s_w, s_h = rec_cols(3)
+        smap = tex_ops.sample_quad_cols(
+            sb.quad_pool, s_off, s_w, s_h, do_smap,
             uv_u * uv_scale, uv_v * uv_scale, filt, h_addr, v_addr,
         )
         specular = jnp.where(do_smap[None], smap[:3], jnp.ones((3, u.shape[0])))
@@ -286,30 +293,58 @@ def shade_hits_compacted(
     idx, count = compact_indices(mask, capacity)
     safe = jnp.minimum(idx, n - 1)
     live = idx < n
-    g1 = lambda a: jnp.take(a, safe, axis=0)
-    g2 = lambda a: jnp.take(a, safe, axis=1)
-    tri_c = jnp.where(live, g1(tri), -1)
+
+    # ONE packed gather in, ONE packed scatter out: TPU gathers and
+    # scatters cost per-row, so the per-field takes/sets this used to do
+    # (~12 each per call site) were the dominant cost, not the shading.
+    bc_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    bc_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    packed_in = jnp.concatenate(
+        [bc_f(tri)[None], bary_u[None], bary_v[None], noise_rand[None],
+         ray_dir], 0,
+    )  # (6, n)
+    got = jnp.take(packed_in, safe, axis=1)  # (6, capacity) — THE gather
+    tri_c = jnp.where(live, bc_i(got[0]), -1)
     sh_c = shade_hits(
-        sb, tri_rows, g2(ray_dir), tri_c, g1(bary_u), g1(bary_v),
-        g1(noise_rand), shadow_variant=shadow_variant,
+        sb, tri_rows, got[4:7], tri_c, got[1], got[2], got[3],
+        shadow_variant=shadow_variant,
+    )
+    dropped = jnp.maximum(count - capacity, 0)
+
+    if shadow_variant:
+        # Shadow rays only consume the occlusion alpha: scatter ONE row.
+        alpha = jnp.zeros((n,)).at[idx].set(sh_c.color[3], mode="drop")
+        z3 = jnp.zeros((3, n))
+        sh = HitShade(
+            color=jnp.concatenate([z3, alpha[None]], 0),
+            normal=z3, specular=z3, flow=z3,
+            instance=jnp.full((n,), -1, jnp.int32),
+            rows_t=jnp.zeros((R.TROW, n)),
+            tri=jnp.full((n,), -1, jnp.int32),
+        )
+        return sh, dropped
+
+    payload = jnp.concatenate(
+        [sh_c.color, sh_c.normal, sh_c.specular, sh_c.flow,
+         bc_f(sh_c.instance)[None], bc_f(tri_c)[None], sh_c.rows_t], 0,
+    )  # (15 + TROW, capacity)
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    fill = jnp.concatenate(
+        [jnp.zeros((13, n)), jnp.full((2, n), neg1), jnp.zeros((R.TROW, n))],
+        0,
     )
     # Pad lanes carry idx == n and are dropped by the scatter.
-    s1 = lambda fill, v: jnp.full((n,), fill, v.dtype).at[idx].set(
-        v, mode="drop"
-    )
-    s2 = lambda rows, v: jnp.zeros((rows, n), v.dtype).at[:, idx].set(
-        v, mode="drop"
-    )
+    out = fill.at[:, idx].set(payload, mode="drop")  # THE scatter
     sh = HitShade(
-        color=s2(4, sh_c.color),
-        normal=s2(3, sh_c.normal),
-        specular=s2(3, sh_c.specular),
-        flow=s2(3, sh_c.flow),
-        instance=s1(-1, sh_c.instance),
-        rows_t=s2(R.TROW, sh_c.rows_t),
-        tri=s1(-1, tri_c),
+        color=out[0:4],
+        normal=out[4:7],
+        specular=out[7:10],
+        flow=out[10:13],
+        instance=bc_i(out[13]),
+        rows_t=out[15 : 15 + R.TROW],
+        tri=bc_i(out[14]),
     )
-    return sh, jnp.maximum(count - capacity, 0)
+    return sh, dropped
 
 
 def tangent_binormal(gt, vertex_normal):
@@ -402,6 +437,7 @@ def build_tri_rows(sb):
     parts.append(it[R.I_ELIG : R.I_ELIG + R.MAX_ELIG_LIGHTS])
     parts.append(it[R.I_INPUT_COUNT][None])
     parts.append(it[R.I_TEX_D2][None])
+    parts.append(it[R.I_REC : R.I_REC + 12])
     rows_t = jnp.concatenate(parts, axis=0)
     pad = R.TROW - rows_t.shape[0]
     assert pad >= 0, rows_t.shape

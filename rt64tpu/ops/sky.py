@@ -65,6 +65,22 @@ def _finish_sky(color, sky_diffuse_multiplier, sky_hsl_modifier):
     return jnp.concatenate([rgb, color[3:4]], axis=0)
 
 
+def _sample_env_scalar_rec(pool, records, sky_rec, u, v):
+    """sample_env with a per-frame SCALAR record id: the record row is
+    fetched with one O(1) dynamic slice instead of a per-pixel gather
+    (which costs per-row at frame scale). sky_rec may be () or (N,) —
+    only lane 0 is used, matching the broadcast callers."""
+    rec = jnp.asarray(sky_rec, jnp.int32).reshape(-1)[0]
+    off, w, h = tex_ops.scalar_record(records, rec)
+    n = u.shape
+    return tex_ops.sample_quad_cols(
+        pool, off, w, h, rec >= 0, u, v,
+        jnp.broadcast_to(jnp.bool_(True), n),
+        jnp.broadcast_to(jnp.int32(tex_ops.ADDR_WRAP), n),
+        jnp.broadcast_to(jnp.int32(tex_ops.ADDR_WRAP), n),
+    )
+
+
 def sample_sky_2d(
     pool, records, sky_rec, su, sv, view_i, viewport_wh,
     yaw_offset, sky_diffuse_multiplier, sky_hsl_modifier,
@@ -72,7 +88,7 @@ def sample_sky_2d(
     """SampleSky2D (BgSky.hlsli:54-70): (4, N); rec < 0 -> transparent."""
     u, v = compute_sky_plane_uv(su, sv, view_i, viewport_wh, yaw_offset)
     u = jnp.broadcast_to(u, su.shape)
-    color = tex_ops.sample_env(pool, records, sky_rec, u, v)
+    color = _sample_env_scalar_rec(pool, records, sky_rec, u, v)
     return _finish_sky(color, sky_diffuse_multiplier, sky_hsl_modifier)
 
 
@@ -82,7 +98,7 @@ def sample_sky_plane(
 ):
     """SampleSkyPlane (BgSky.hlsli:72-84): (4, N)."""
     u, v = fake_env_map_uv(ray_dir, yaw_offset)
-    color = tex_ops.sample_env(pool, records, sky_rec, u, v)
+    color = _sample_env_scalar_rec(pool, records, sky_rec, u, v)
     return _finish_sky(color, sky_diffuse_multiplier, sky_hsl_modifier)
 
 
@@ -90,23 +106,17 @@ def sample_background_2d(bg_planes, su, sv):
     """SampleBackground2D: bilinear sample of the raster background.
 
     bg_planes: (3, H, W) planar image; su/sv: (N,). Returns (3, N).
+
+    Quad-packs the image (self/+x/+y/+xy neighbor planes, cheap
+    elementwise shifts) so the bilinear fetch is ONE 12-row planar
+    gather instead of four — TPU gathers cost per-row, and identical
+    packs at multiple call sites CSE into one.
     """
-    h, w = bg_planes.shape[1], bg_planes.shape[2]
-    x = jnp.clip(su * w - 0.5, 0.0, w - 1.0)
-    y = jnp.clip(sv * h - 0.5, 0.0, h - 1.0)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (x - x0)[None]
-    fy = (y - y0)[None]
-    flat = bg_planes.reshape(3, -1)
-    at = lambda yy, xx: flat[:, (yy * w + xx)]
-    return (
-        at(y0, x0) * (1 - fx) * (1 - fy)
-        + at(y0, x1) * fx * (1 - fy)
-        + at(y1, x0) * (1 - fx) * fy
-        + at(y1, x1) * fx * fy
+    from rt64tpu.ops import filters
+
+    packed = filters.quad_pack_planar(bg_planes)
+    return filters.bilinear_quad(
+        packed, 3, bg_planes.shape[1], bg_planes.shape[2], su, sv
     )
 
 

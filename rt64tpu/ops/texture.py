@@ -18,6 +18,7 @@ under ``#if 0`` (rt64_device.cpp:758-762), so SampleGrad == bilinear.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 ADDR_WRAP = 0
@@ -61,12 +62,38 @@ def sample_quad(pool, records, rec_id, u, v, filter_linear, h_addr, v_addr):
     texture coords; filter_linear: (N,) bool; h_addr/v_addr: (N,) int32.
 
     Returns (4, N): r, g, b, a planes.
+
+    NOTE: the records[] lookup here is a per-pixel row gather, which
+    costs milliseconds at frame scale regardless of the table size. Hot
+    paths pass the record fields directly via sample_quad_cols (baked
+    into triangle rows, pipeline/rows.py I_REC) or scalar_record.
     """
     safe = jnp.maximum(rec_id, 0)
     rec = records[safe]  # (N, 3) — tiny row gather over Rec entries
-    offset = rec[:, 0]
-    w = rec[:, 1]
-    h = rec[:, 2]
+    return sample_quad_cols(
+        pool, rec[:, 0], rec[:, 1], rec[:, 2], rec_id >= 0, u, v,
+        filter_linear, h_addr, v_addr,
+    )
+
+
+def scalar_record(records, rec_id):
+    """(offset, w, h) int32 scalars for one record id (traced scalar).
+    O(1) dynamic slice — no per-pixel gather. Negative ids clamp to row
+    0; callers keep masking by rec_id >= 0."""
+    row = jax.lax.dynamic_slice_in_dim(
+        records, jnp.maximum(rec_id, 0), 1, axis=0
+    )[0]
+    return row[0], row[1], row[2]
+
+
+def sample_quad_cols(pool, offset, w, h, valid, u, v, filter_linear,
+                     h_addr, v_addr):
+    """sample_quad with the record fields given per lane (or scalar,
+    broadcast): offset/w/h int-valued arrays, valid (N,) bool."""
+    n = u.shape
+    offset = jnp.broadcast_to(jnp.asarray(offset, jnp.int32), n)
+    w = jnp.broadcast_to(jnp.asarray(w, jnp.int32), n)
+    h = jnp.broadcast_to(jnp.asarray(h, jnp.int32), n)
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
@@ -94,7 +121,9 @@ def sample_quad(pool, records, rec_id, u, v, filter_linear, h_addr, v_addr):
     py = (fy >= 0.5)[None]
     point = jnp.where(py, jnp.where(px, c11, c01), jnp.where(px, c10, c00))
     out = jnp.where(filter_linear[None], bilinear, point)
-    return jnp.where((rec_id >= 0)[None], out, jnp.zeros_like(out))
+    return jnp.where(
+        jnp.broadcast_to(valid, n)[None], out, jnp.zeros_like(out)
+    )
 
 
 def sample_env(pool, records, rec_id, u, v):

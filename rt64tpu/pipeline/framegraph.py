@@ -54,6 +54,10 @@ class RenderConfig:
     k_secondary: int = 2
     k_shadow: int = 1
     motion_blur_samples: int = 32  # rt64_view.cpp:53
+    # STATIC motion-blur gate: the host knows whether the strength knob
+    # is zero; a runtime lax.cond over the display image is a multi-ms
+    # scheduling fence on TPU. Flipping the knob re-specializes the jit.
+    motion_blur_enabled: bool = True
     denoiser_enabled: bool = False
     gi_filter_passes: int = 5  # rt64_view.cpp:1512-1530
     upscaler: int = 0
@@ -607,9 +611,13 @@ def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg,
     py = jnp.floor(pix[:, 1] + 0.5 + flow[1]).astype(jnp.int32)
     inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
     flat = flat_index(cfg, jnp.clip(px, 0, w - 1), jnp.clip(py, 0, h - 1))
-    p_depth = jnp.where(inb, prev_depth[flat], 0.0)
-    p_normal = jnp.where(inb[None], prev_normal[:, flat], 0.0)
-    p_accum = jnp.where(inb[None], prev_buf[:, flat], 0.0)
+    # ONE consolidated history gather: TPU gathers cost per-row, so the
+    # depth/normal/accum planes are stacked and fetched together.
+    hist_planes = jnp.concatenate([prev_depth[None], prev_normal, prev_buf], 0)
+    got = jnp.where(inb[None], hist_planes[:, flat], 0.0)
+    p_depth = got[0]
+    p_normal = got[1:4]
+    p_accum = got[4:]
     weight_depth = jnp.abs(depth - p_depth) / 0.01
     weight_normal = jnp.power(jnp.maximum(vm.dot(p_normal, normal), 0.0), 128.0)
     history_weight = jnp.exp(-weight_depth) * weight_normal
@@ -1210,10 +1218,11 @@ def render_frame(
             )
         else:
             flow_disp = to_image(cfg, g.flow)
-        disp = filters.motion_blur(
-            disp, flow_disp, (float(w), float(h)),
-            gp.motion_blur_strength, cfg.motion_blur_samples,
-        )
+        if cfg.motion_blur_enabled:
+            disp = filters.motion_blur(
+                disp, flow_disp, (float(w), float(h)),
+                gp.motion_blur_strength, cfg.motion_blur_samples,
+            )
     else:
         disp = debug_visualization(
             visualization_mode, cfg, g, direct_accum, indirect_accum,

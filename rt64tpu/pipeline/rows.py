@@ -49,7 +49,12 @@ I_INPUT_COUNT = 83
 I_VIEWPORT = 84  # 4: x, y, w, h (0 w/h = full target) — raster path
 I_SCISSOR = 88  # 4: x, y, w, h (0 w/h = disabled)
 I_TEX_D2 = 92  # TEXEL1 quad-pool record id (or -1) — TPU extension
-IROW = 93
+I_REC = 93  # 12: baked quad-pool records (offset, w, h) for the
+            # diffuse / TEXEL1 / normal / specular textures. Baking the
+            # record fields into the row removes the per-pixel
+            # records[id] gather at sample time (TPU gathers cost
+            # per-row; a 307k-row gather from even a tiny table is ms).
+IROW = 105
 
 # material float sub-layout (relative to I_MAT / T_MAT)
 M_IGNORE_NORMAL = 0
@@ -112,7 +117,10 @@ T_INPUT_COUNT = 108
 T_TEX_D2 = 109  # TEXEL1 record id — a real second texture binding
                 # where the reference stubs TEXEL1 to magenta
                 # (rt64_shader.cpp:484-487)
-TROW = 112
+T_REC = 110  # 12: baked texture records (see I_REC) — the hit row
+             # carries offset/w/h so texture sampling needs NO record
+             # gather, only the one pool gather.
+TROW = 122
 
 MAX_ELIG_LIGHTS = 16  # MAX_LIGHTS (Lights.hlsli:24)
 

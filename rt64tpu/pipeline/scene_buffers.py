@@ -372,6 +372,23 @@ class ScenePacker:
             for l in range(nl):
                 irows[ii, R.I_ELIG + l] = float(bool(gm & lgroups[l]))
 
+        # Bake each instance's texture records (offset, w, h) into the
+        # row (I_REC) so sampling needs no per-pixel records[] gather.
+        records = self._np["quad_records"]
+        for j, col in enumerate(
+            (R.I_TEX_D, R.I_TEX_D2, R.I_TEX_N, R.I_TEX_S)
+        ):
+            dst = slice(R.I_REC + 3 * j, R.I_REC + 3 * j + 3)
+            if len(records) == 0:
+                continue
+            rid = irows[:, col].astype(np.int32)
+            ok = rid >= 0
+            vals = records[np.clip(rid, 0, len(records) - 1)].astype(
+                np.float32
+            )
+            vals[~ok] = 0.0
+            irows[:, dst] = vals
+
         L = lm.max_lights
         lights = np.zeros((L, LIGHT_WIDTH), np.float32)
         count = min(len(larr), L)
@@ -425,6 +442,11 @@ class ScenePacker:
         )
 
         cap = self.limits.raster_triangles
+        if not raster_list:
+            # Zero-row shape -> the raster pass compiles out entirely
+            # (rasterize early-returns; no lax.cond fence over the
+            # full-res image for scenes with no raster instances).
+            return np.zeros((0, RR_WIDTH), np.float32), 0
         rows = np.zeros((cap, RR_WIDTH), np.float32)
         count = 0
         for inst in raster_list:

@@ -191,6 +191,7 @@ class ViewRenderer:
             max_reflections=view.max_reflections if any_refl else 0,
             refraction_enabled=any_refr,
             denoiser_enabled=bool(vd.denoiser_enabled),
+            motion_blur_enabled=float(vd.motion_blur_strength) > 0.0,
             upscaler=int(vd.upscaler),
             alpha_cap=self.packer.alpha_cap,
             alpha_shade_boost=self._alpha_boost,
