@@ -154,13 +154,62 @@ def packed_table() -> np.ndarray:
     return packed.reshape(-1)
 
 
+def grid_sampler(table, width, height, row_offset=0, swizzle=None):
+    """Gather-free blue noise for the regular full-screen ray grid.
+
+    getBlueNoise's index is (x%64, y%64, frame%64); frame is uniform
+    across a dispatch. On the standard ray grid the entire fetch is one
+    64x64 frame tile repeated across the screen — a dynamic_slice on
+    the frame axis plus jnp.tile/crop, no per-pixel gather (the gather
+    form profiled at ~3.6 ms per fetch at 480p; this is ~free).
+
+    table: flat (F*T*T,) packed uint32 (packed_table) or the
+    (64, 64, 64, 3) float table. row_offset shifts the y origin (row
+    sharding); may be traced. swizzle: optional (H, W, 3) -> (N, 3)
+    ray-order mapper for tiled pixel layouts.
+    Returns sample(frame_count) -> (H*W, 3) float32; frame_count must
+    be a scalar (as every reference dispatch passes it).
+    """
+    import jax
+
+    t3 = table.reshape(_FRAMES, _TILE, _TILE) if table.ndim == 1 else None
+    reps_y = -(-height // _TILE) + 1  # +1: roll never shrinks coverage
+    reps_x = -(-width // _TILE)
+
+    def sample(frame_count):
+        f = jnp.remainder(jnp.asarray(frame_count, jnp.int32), _FRAMES)
+        if t3 is not None:
+            tu = jax.lax.dynamic_slice(t3, (f, 0, 0), (1, _TILE, _TILE))[0]
+            inv = jnp.float32(1.0 / 255.0)
+            tile = jnp.stack(
+                [(tu & 0xFF).astype(jnp.float32) * inv,
+                 ((tu >> 8) & 0xFF).astype(jnp.float32) * inv,
+                 ((tu >> 16) & 0xFF).astype(jnp.float32) * inv], axis=-1,
+            )
+        else:
+            tile = jax.lax.dynamic_slice(
+                table, (f, 0, 0, 0), (1, _TILE, _TILE, 3)
+            )[0]
+        # value[y, x] = tile[(y + row_offset) % 64, x % 64]
+        tile = jnp.roll(tile, -row_offset, axis=0)
+        plane = jnp.tile(tile, (reps_y, reps_x, 1))[:height, :width]
+        if swizzle is not None:
+            return swizzle(plane)
+        return plane.reshape(height * width, 3)
+
+    return sample
+
+
 def get_blue_noise(table, pixel_xy, frame_count):
     """getBlueNoise (BlueNoise.hlsli:7-12): (..., 3) values.
 
-    table: flat (F*T*T,) uint32 (packed_table) or the legacy
-    (64, 64, 64, 3) float table; pixel_xy: (..., 2) int (x, y);
-    frame_count: scalar or (...,) int.
+    table: a grid_sampler closure (fast path — pixel_xy is implied by
+    the sampler's grid and ignored), flat (F*T*T,) uint32
+    (packed_table), or the legacy (64, 64, 64, 3) float table;
+    pixel_xy: (..., 2) int (x, y); frame_count: scalar or (...,) int.
     """
+    if callable(table):
+        return table(frame_count)
     f = jnp.remainder(jnp.asarray(frame_count, jnp.int32), _FRAMES)
     px = jnp.remainder(pixel_xy[..., 0], _TILE)
     py = jnp.remainder(pixel_xy[..., 1], _TILE)

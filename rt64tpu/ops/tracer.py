@@ -480,10 +480,17 @@ def trace(
     trace_opaque's signature/returns.
     """
     opaque = opaque_fn or trace_opaque
-    t_opb, tri_op, uv_op = opaque(
+    res = opaque(
         origins, dirs, t_min, t_max, scene, cull_backface=cull_backface,
         chunk=chunk,
     )
+    if len(res) == 4:
+        # Backend carried the winner's bias out of the traversal (the
+        # Pallas kernel) — no (N,) bias gather needed.
+        t_opb, tri_op, uv_op, bias_op = res
+    else:
+        t_opb, tri_op, uv_op = res
+        bias_op = scene.bias[jnp.maximum(tri_op, 0)]
     a_dropped = jnp.int32(0)
     if k_alpha > 0 and scene.has_alpha is not False:
         n = origins.shape[1]
@@ -533,9 +540,7 @@ def trace(
     # (WithoutDistanceBias, Instances.hlsli). The alpha side's bias rode
     # the K-extraction as a payload (no gather); the opaque side's is
     # one (N,) gather.
-    t_op_true = jnp.where(
-        tri_op >= 0, t_opb + scene.bias[jnp.maximum(tri_op, 0)], _BIG
-    )
+    t_op_true = jnp.where(tri_op >= 0, t_opb + bias_op, _BIG)
     t_a_true = jnp.where(tri_a >= 0, t_ab + b_a, _BIG)
     return Hits(
         t_op=t_op_true,

@@ -267,8 +267,8 @@ def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
 
 
 def _kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm, t_ref,
-            tri_ref, ivals_ref, entry_ref, vsems, scratch, sems, *,
-            cull_backface: bool, nc: int):
+            tri_ref, u_ref, v_ref, bias_ref, ivals_ref, entry_ref, vsems,
+            scratch, sems, *, cull_backface: bool, nc: int):
     """Ordered packet traversal: clusters arrive front-to-back and the
     walk stops once the next cluster's conservative entry distance lies
     beyond every ray's current best hit (packet early-out, the analog of
@@ -307,11 +307,11 @@ def _kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm, t_ref,
         cluster_dma(0, 0).start()
 
     def cond(carry):
-        i, worst, _, _ = carry
+        i, worst = carry[0], carry[1]
         return (i < count) & (entry_ref[0, jnp.minimum(i, nc - 1)] <= worst)
 
     def body(carry):
-        i, worst, t_best, tri_best = carry
+        i, worst, t_best, tri_best, u_best, v_best, b_best = carry
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < count)
@@ -364,24 +364,44 @@ def _kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm, t_ref,
         idx = jnp.where(
             key <= best, cid * CLUSTER_SIZE + col, -1
         ).max(axis=1, keepdims=True)
+        # Hit attributes of the CHOSEN triangle (masked sum == select:
+        # exactly one column matches idx). Carrying u/v/bias here means
+        # the caller needs no re-intersection and no bias gather — three
+        # (N,) full-res gathers that were top-10 frame costs.
+        sel = col == (idx - cid * CLUSTER_SIZE)
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=1,
+                                 keepdims=True)
+        u_c = pick(u)
+        v_c = pick(v)
+        b_c = pick(jnp.broadcast_to(tri[C_BIAS][None, :],
+                                    (BLOCK_RAYS, CLUSTER_SIZE)))
         better = best < t_best
         t_best = jnp.where(better, best, t_best)
         tri_best = jnp.where(better, idx, tri_best)
+        u_best = jnp.where(better, u_c, u_best)
+        v_best = jnp.where(better, v_c, v_best)
+        b_best = jnp.where(better, b_c, b_best)
         worst = jnp.max(t_best)
-        return (i + 1, worst, t_best, tri_best)
+        return (i + 1, worst, t_best, tri_best, u_best, v_best, b_best)
 
     # t_best starts at the ray's own t_max (+1 so t == t_max still wins):
     # rays that can't hit anything past t_max stop gating the packet's
     # early-out, so sky-heavy blocks terminate too (t_max is clamped to
     # the scene-AABB exit by the caller).
     t_init = tmax + 1.0
+    zero = jnp.zeros((BLOCK_RAYS, 1), jnp.float32)
     init = (
         jnp.int32(0),
         jnp.max(t_init),
         t_init,
         jnp.full((BLOCK_RAYS, 1), -1, jnp.int32),
+        zero,
+        zero,
+        zero,
     )
-    i_final, _, t_best, tri_best = jax.lax.while_loop(cond, body, init)
+    i_final, _, t_best, tri_best, u_best, v_best, b_best = (
+        jax.lax.while_loop(cond, body, init)
+    )
 
     # Early exit leaves the i_final prefetch in flight; drain it so the
     # kernel never ends with a dangling DMA.
@@ -389,8 +409,12 @@ def _kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm, t_ref,
     def _():
         cluster_dma(jax.lax.rem(i_final, 2), i_final).wait()
 
-    t_ref[:] = t_best.reshape(1, BLOCK_RAYS // 128, 128)
-    tri_ref[:] = tri_best.reshape(1, BLOCK_RAYS // 128, 128)
+    shape3 = (1, BLOCK_RAYS // 128, 128)
+    t_ref[:] = t_best.reshape(shape3)
+    tri_ref[:] = tri_best.reshape(shape3)
+    u_ref[:] = u_best.reshape(shape3)
+    v_ref[:] = v_best.reshape(shape3)
+    bias_ref[:] = b_best.reshape(shape3)
 
 
 @functools.partial(jax.jit, static_argnames=("cull_backface", "interpret"))
@@ -404,7 +428,7 @@ def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
     # DMA row slices must be 128-aligned in the trailing dim.
     ivals = _pad128(jnp.concatenate([counts[:, None], visits], axis=1))[:, None]
     entries = _pad128(entries)[:, None]
-    t, tri = pl.pallas_call(
+    t, tri, u, v, bias = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=[
@@ -414,11 +438,10 @@ def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # clusters stay in HBM
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_RAYS // 128, 128),
-                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            for _ in range(5)
         ),
         scratch_shapes=[
             pltpu.SMEM((1, ivals.shape[2]), jnp.int32),
@@ -427,13 +450,15 @@ def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
             pltpu.VMEM((2, C_ROWS, CLUSTER_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), jnp.int32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), dt)
+            for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
+                       jnp.float32)
         ),
         interpret=interpret,
     )(ivals, entries, rays8, cluster_tris)
-    return t.reshape(n), tri.reshape(n)
+    return (t.reshape(n), tri.reshape(n), u.reshape(n), v.reshape(n),
+            bias.reshape(n))
 
 
 def make_opaque_fn(interpret: bool = False):
@@ -442,8 +467,6 @@ def make_opaque_fn(interpret: bool = False):
     def opaque_fn(origins, dirs, t_min, t_max, scene, cull_backface=True,
                   chunk=0):
         del chunk
-        from rt64tpu.ops import tracer as xtr
-
         n = origins.shape[1]
         pad = (-n) % BLOCK_RAYS
         if pad:
@@ -492,15 +515,16 @@ def make_opaque_fn(interpret: bool = False):
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_k[None]], axis=0
         )
-        t, tri = _trace_opaque_pallas_impl(
+        t, tri, u, v, bias = _trace_opaque_pallas_impl(
             rays8, cluster_tris, visits, counts, entries, cull_backface,
             interpret,
         )
         t, tri = t[:n], tri[:n]
         t = jnp.where(tri >= 0, t, _BIG)
-        rays = xtr._Rays.of(origins, dirs, t_min, t_max)
-        uv = xtr._reintersect_uv(rays, scene, tri)
-        return t, tri, uv
+        # The kernel carries the winning hit's u/v/bias out with it, so
+        # no re-intersection (3 corner gathers) and no bias gather.
+        uv = jnp.stack([u[:n], v[:n]], axis=-1)
+        return t, tri, uv, bias[:n]
 
     return opaque_fn
 

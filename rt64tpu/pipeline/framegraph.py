@@ -1120,6 +1120,22 @@ def render_frame(
     pix, origins, dirs = primary_rays(cfg, gp, row_offset)
     noise_rand = _noise_rand(cfg, gp, pix)
 
+    # All blue-noise fetches in the frame read the regular pixel grid at
+    # a uniform frame index, so replace the per-pixel gather with a
+    # dynamic-sliced 64x64 tile repeated across the screen (see
+    # bluenoise.grid_sampler). Downstream get_blue_noise calls hit the
+    # callable fast path.
+    if not callable(bn_table):
+        swz = None
+        if cfg.tiled:
+            swz = lambda plane: jnp.stack(
+                [_from_image_1(cfg, plane[..., c]) for c in range(3)],
+                axis=-1,
+            )
+        bn_table = bluenoise.grid_sampler(
+            bn_table, w, h, row_offset=row_offset, swizzle=swz
+        )
+
     # Under row tiling the background plane arrives full-height
     # (replicated); take this shard's band.
     if bg_planes.shape[1] != h:

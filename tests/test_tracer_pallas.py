@@ -60,7 +60,7 @@ def test_opaque_parity(seed, cull):
         )
     )()
     fn = tp.make_opaque_fn(interpret=True)
-    t_k, tri_k, uv_k = jax.jit(
+    t_k, tri_k, uv_k, bias_k = jax.jit(
         lambda: fn(origins, dirs, t_min, t_max, scene, cull_backface=cull)
     )()
 
@@ -71,6 +71,12 @@ def test_opaque_parity(seed, cull):
     )
     np.testing.assert_allclose(
         np.asarray(uv_ref)[hit], np.asarray(uv_k)[hit], rtol=1e-4, atol=1e-5
+    )
+    # The kernel-carried bias must equal the winner's scene bias (the
+    # gather it replaces).
+    bias_ref = np.asarray(scene.bias)[np.maximum(np.asarray(tri_ref), 0)]
+    np.testing.assert_allclose(
+        bias_ref[hit], np.asarray(bias_k)[hit], rtol=1e-6, atol=1e-6
     )
 
 
@@ -85,7 +91,7 @@ def test_opaque_partial_block():
         )
     )()
     fn = tp.make_opaque_fn(interpret=True)
-    t_k, tri_k, _ = jax.jit(
+    t_k, tri_k, _, _ = jax.jit(
         lambda: fn(origins, dirs, t_min, t_max, scene)
     )()
     np.testing.assert_array_equal(np.asarray(tri_ref), np.asarray(tri_k))
