@@ -71,7 +71,37 @@ def trace_shadow_factor(
     Opaque-class hits block completely; alpha-class hits subtract their
     shadow alpha (payload.shadowHit accumulation is order-independent,
     rt64_shader.cpp:655-658, so a masked sum is exact). Returns
-    (factor (N,), dropped int32 — alpha hits beyond shade capacity)."""
+    (factor (N,), dropped int32 — alpha hits beyond shade capacity).
+
+    When the scene statically has alpha geometry, the alpha side runs
+    fully compacted: ONE slab cull + compaction, K-hit sweep + shadow
+    shading in compacted space, and a single 1-row scatter of the
+    summed shadow alpha (tracer.trace_alpha_to_compact) — the previous
+    shape re-scattered (N, K) hit planes and re-compacted them per
+    light sample."""
+    n = origins.shape[1]
+    if k_alpha > 0 and trace_scene.has_alpha is True:
+        _, tri_op, _, t_opb = tracer.trace_opaque_only(
+            origins, dirs, t_min, t_max, trace_scene,
+            cull_backface=False, opaque_fn=opaque_fn,
+        )
+        blocked = tri_op >= 0
+        cap = max(512, (k_alpha * n) // 8) * max(shade_boost, 1)
+        ac = tracer.trace_alpha_to_compact(
+            origins, dirs, t_min, t_max, trace_scene, k_alpha,
+            False, cap, noise_rand, t_opaque_biased=t_opb,
+        )
+        asum_c = jnp.zeros(ac.noise.shape)
+        for s in range(k_alpha):
+            hs = shade_ops.shade_hits(
+                sb, tri_rows, ac.dirs, ac.tri[:, s], ac.uv[:, s, 0],
+                ac.uv[:, s, 1], ac.noise, shadow_variant=True,
+            )
+            asum_c = asum_c + hs.color[3]
+        alpha_sum = jnp.zeros((n,)).at[ac.idx].set(asum_c, mode="drop")
+        factor = jnp.maximum(1.0 - alpha_sum, 0.0)
+        return jnp.where(blocked, 0.0, factor), ac.dropped
+
     hits = tracer.trace_shadow(
         origins, dirs, t_min, t_max, trace_scene, k_alpha,
         opaque_fn=opaque_fn, alpha_compact=alpha_compact,
@@ -79,7 +109,6 @@ def trace_shadow_factor(
     blocked = hits.tri_op >= 0
     dropped = hits.alpha_dropped
     if k_alpha > 0 and trace_scene.has_alpha is not False:
-        n = origins.shape[1]
         tri_flat = hits.tri_a.T.reshape(-1)  # (K*N,)
         u_flat = hits.uv_a[..., 0].T.reshape(-1)
         v_flat = hits.uv_a[..., 1].T.reshape(-1)

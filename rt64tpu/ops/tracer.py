@@ -316,27 +316,14 @@ def trace_alpha(
     k = k_alpha
     a_cap = scene.alpha_idx.shape[0]
     # The cull+compact detour costs ~2 ms of gathers/scatters at 480p;
-    # it only wins once the raw sweep is the bigger term (large alpha
-    # lists). Small lists take the direct sweep.
-    if compact_capacity and 0 < compact_capacity < n and a_cap > 256:
+    # it only wins once the raw sweep is the bigger term. Profiling the
+    # castle frame showed the direct sweep's (N, A) masked-extraction
+    # planes dominate from A=256 up (~19 ms at 480p), so compact for
+    # any list past one chunk; only tiny lists take the direct sweep.
+    if compact_capacity and 0 < compact_capacity < n and a_cap >= 128:
         from rt64tpu.ops.shading import compact_indices
 
-        ids = scene.alpha_idx
-        safe_t = jnp.maximum(ids, 0)
-        alive = (ids >= 0)[None]
-        g3 = lambda a: a[:, safe_t]
-        av0, av1, av2 = g3(scene.v0), g3(scene.v1), g3(scene.v2)
-        big = jnp.float32(_BIG)
-        lo = jnp.where(alive, jnp.minimum(jnp.minimum(av0, av1), av2), big)
-        hi = jnp.where(alive, jnp.maximum(jnp.maximum(av0, av1), av2), -big)
-        ch = 128
-        pad_c = (-a_cap) % ch
-        if pad_c:
-            lo = jnp.concatenate([lo, jnp.full((3, pad_c), big)], axis=1)
-            hi = jnp.concatenate([hi, jnp.full((3, pad_c), -big)], axis=1)
-        nch = (a_cap + pad_c) // ch
-        lo_c = lo.reshape(3, nch, ch).min(axis=2)
-        hi_c = hi.reshape(3, nch, ch).max(axis=2)
+        lo_c, hi_c = _alpha_chunk_aabbs(scene)
         hit_c = _slab_any(origins, dirs, t_min, t_max, lo_c, hi_c)
         ray_mask = hit_c.any(axis=1)
 
@@ -363,6 +350,142 @@ def trace_alpha(
         origins, dirs, t_min, t_max, scene, k, cull_backface, chunk
     )
     return t_a, tri_a, uv_a, b_a, jnp.int32(0)
+
+
+def _alpha_chunk_aabbs(scene: TraceScene, ch: int = 128):
+    """AABBs of the compacted alpha list in 128-triangle chunks
+    (the alpha-side traversal-cull boxes): (lo (3, M), hi (3, M))."""
+    ids = scene.alpha_idx
+    a_cap = ids.shape[0]
+    safe_t = jnp.maximum(ids, 0)
+    alive = (ids >= 0)[None]
+    g3 = lambda a: a[:, safe_t]
+    av0, av1, av2 = g3(scene.v0), g3(scene.v1), g3(scene.v2)
+    big = jnp.float32(_BIG)
+    lo = jnp.where(alive, jnp.minimum(jnp.minimum(av0, av1), av2), big)
+    hi = jnp.where(alive, jnp.maximum(jnp.maximum(av0, av1), av2), -big)
+    pad_c = (-a_cap) % ch
+    if pad_c:
+        lo = jnp.concatenate([lo, jnp.full((3, pad_c), big)], axis=1)
+        hi = jnp.concatenate([hi, jnp.full((3, pad_c), -big)], axis=1)
+    nch = (a_cap + pad_c) // ch
+    return lo.reshape(3, nch, ch).min(axis=2), hi.reshape(3, nch, ch).max(axis=2)
+
+
+class AlphaCompact(NamedTuple):
+    """K-hit alpha trace results in COMPACTED ray space (see
+    trace_alpha_to_compact): callers shade and resolve in this space and
+    scatter their fold results back once."""
+
+    idx: jax.Array  # (CAP,) source ray lane, == n for pad lanes
+    origins: jax.Array  # (3, CAP) gathered ray origins
+    dirs: jax.Array  # (3, CAP) gathered ray dirs
+    noise: jax.Array  # (CAP,) gathered per-pixel noise
+    t: jax.Array  # (CAP, K) UNBIASED hit t ascending by biased key (_BIG pad)
+    tri: jax.Array  # (CAP, K) triangle ids (-1 pad)
+    uv: jax.Array  # (CAP, K, 2) barycentrics
+    extra: tuple  # gathered caller aux arrays (pytree of f32 (C?, CAP))
+    dropped: jax.Array  # () int32 — candidate rays beyond CAP
+
+
+def trace_alpha_to_compact(
+    origins, dirs, t_min, t_max, scene: TraceScene, k_alpha: int,
+    cull_backface: bool, capacity: int, noise_rand,
+    t_opaque_biased=None, extra=(), chunk: int = 256,
+):
+    """Alpha K-hit trace with ONE cull+compact and NO full-width
+    scatter-back.
+
+    The previous shape (trace_alpha + per-slot shade_hits_compacted)
+    compacted the same sparse alpha lanes up to 5 times per pass and
+    scattered (N, K) t/tri/uv/bias planes plus K full HitShade planes
+    back to full width — profiled at ~35 ms of the 480p castle frame.
+    Here the slab cull + compaction runs ONCE; rays, noise, the opaque
+    depth bound, and any caller `extra` per-ray arrays ride a single
+    packed gather; the sweep, shading, and front-to-back resolve all
+    stay in compacted space (framegraph._fold_shaded_slots scatters the
+    resolved carry once at the end).
+
+    Reference analog: the DXR any-hit sequence only ever touches rays
+    whose BVH traversal reaches alpha geometry (rt64_shader.cpp:444+);
+    this is the packet-framework equivalent of that sparsity.
+
+    extra: pytree of float32 arrays shaped (N,) or (C, N), gathered to
+    compacted width and returned as AlphaCompact.extra.
+    t_opaque_biased: (N,) biased opaque-hit keys; alpha hits at/behind
+    the opaque hit are masked out (they can never contribute).
+    """
+    from rt64tpu.ops.shading import compact_indices
+
+    n = origins.shape[1]
+    k = k_alpha
+    lo_c, hi_c = _alpha_chunk_aabbs(scene)
+    hit_c = _slab_any(origins, dirs, t_min, t_max, lo_c, hi_c)
+    ray_mask = hit_c.any(axis=1)
+    idx, count = compact_indices(ray_mask, capacity)
+    safe_r = jnp.minimum(idx, n - 1)
+    live_r = idx < n
+
+    extra_leaves, extra_def = jax.tree_util.tree_flatten(extra)
+    rows = [origins, dirs, t_min[None], t_max[None], noise_rand[None]]
+    if t_opaque_biased is not None:
+        rows.append(t_opaque_biased[None])
+    for leaf in extra_leaves:
+        rows.append(leaf[None] if leaf.ndim == 1 else leaf)
+    packed = jnp.concatenate(rows, 0)
+    g = packed[:, safe_r]  # THE gather
+    o_c, d_c = g[0:3], g[3:6]
+    tmin_c = g[6]
+    # Pad lanes get an empty interval: they sweep nothing.
+    tmax_c = jnp.where(live_r, g[7], tmin_c - 1.0)
+    noise_c = g[8]
+    r = 9
+    if t_opaque_biased is not None:
+        t_opb_c = g[r]
+        r += 1
+    out_extra = []
+    for leaf in extra_leaves:
+        c = 1 if leaf.ndim == 1 else leaf.shape[0]
+        got = g[r : r + c]
+        out_extra.append(got[0] if leaf.ndim == 1 else got)
+        r += c
+    extra_c = jax.tree_util.tree_unflatten(extra_def, out_extra)
+
+    t_cc, tri_cc, uv_cc, b_cc = _alpha_sweep(
+        o_c, d_c, tmin_c, tmax_c, scene, k, cull_backface, chunk
+    )
+    if t_opaque_biased is not None:
+        behind = t_cc >= t_opb_c[:, None]
+        tri_cc = jnp.where(behind, -1, tri_cc)
+        t_cc = jnp.where(behind, _BIG, t_cc)
+    t_true = jnp.where(tri_cc >= 0, t_cc + b_cc, _BIG)
+    return AlphaCompact(
+        idx=idx, origins=o_c, dirs=d_c, noise=noise_c,
+        t=t_true, tri=tri_cc, uv=uv_cc, extra=extra_c,
+        dropped=jnp.maximum(count - capacity, 0),
+    )
+
+
+def trace_opaque_only(
+    origins, dirs, t_min, t_max, scene: TraceScene,
+    cull_backface: bool = True, chunk: int = 512, opaque_fn=None,
+):
+    """Opaque-class closest hit with unbiasing folded in.
+
+    Returns (t_true (N,), tri (N,), uv (N, 2), t_biased (N,));
+    t_true/t_biased are _BIG for misses."""
+    opaque = opaque_fn or trace_opaque
+    res = opaque(
+        origins, dirs, t_min, t_max, scene, cull_backface=cull_backface,
+        chunk=chunk,
+    )
+    if len(res) == 4:
+        t_opb, tri_op, uv_op, bias_op = res
+    else:
+        t_opb, tri_op, uv_op = res
+        bias_op = scene.bias[jnp.maximum(tri_op, 0)]
+    t_true = jnp.where(tri_op >= 0, t_opb + bias_op, _BIG)
+    return t_true, tri_op, uv_op, t_opb
 
 
 def _slab_any(origins, dirs, t_min, t_max, lo, hi):

@@ -339,53 +339,129 @@ def _shadow_fn(cfg):
     return None
 
 
+def _pack_rows(tree):
+    """Flatten a carry pytree of (N,) / (C, N) arrays into one (R, N)
+    float32 matrix (bool -> 0/1, int32 -> bitcast) so compacted-space
+    results scatter back in ONE per-row-cost scatter."""
+    rows = []
+    for a in jax.tree_util.tree_leaves(tree):
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.float32)
+        elif jnp.issubdtype(a.dtype, jnp.integer):
+            a = jax.lax.bitcast_convert_type(a.astype(jnp.int32), jnp.float32)
+        rows.append(a[None] if a.ndim == 1 else a)
+    return jnp.concatenate(rows, 0)
+
+
+def _unpack_rows(packed, proto):
+    """Inverse of _pack_rows, using `proto` for shapes/dtypes.
+    Bools were scattered as exact 0.0/1.0, so > 0.5 restores them."""
+    leaves, treedef = jax.tree_util.tree_flatten(proto)
+    out, r = [], 0
+    for a in leaves:
+        c = 1 if a.ndim == 1 else a.shape[0]
+        got = packed[r : r + c]
+        r += c
+        if a.ndim == 1:
+            got = got[0]
+        if a.dtype == jnp.bool_:
+            got = got > 0.5
+        elif jnp.issubdtype(a.dtype, jnp.integer):
+            got = jax.lax.bitcast_convert_type(got, jnp.int32)
+        out.append(got)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _scatter_carry(full, comp, idx):
+    """Scatter a compacted-space carry into its full-width counterpart
+    at ray lanes `idx` (pad lanes == n drop). ONE packed scatter."""
+    fp = _pack_rows(full)
+    cp = _pack_rows(comp)
+    return _unpack_rows(fp.at[:, idx].set(cp, mode="drop"), full)
+
+
 def _fold_shaded_slots(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
-    noise_rand, cfg, carry, slot_fn, cull_backface=True,
+    noise_rand, cfg, make_carry, slot_fn, cull_backface=True, aux=(),
 ):
-    """Trace, then fold slot_fn(carry, sh: HitShade, t_s) front-to-back
-    over the K+1 ordered hit slots (alpha..., opaque last).
+    """Trace, then fold slot_fn front-to-back over the K+1 ordered hit
+    slots (alpha..., opaque last).
+
+    make_carry(origins, dirs, aux) builds the initial carry at the width
+    of its arguments; slot_fn(carry, sh: HitShade, t_s, origins, dirs,
+    aux) folds one slot. Both must be width-polymorphic: when the scene
+    statically has alpha geometry, the K alpha slots are traced, shaded,
+    AND RESOLVED in compacted ray space (one slab cull + compaction for
+    the whole pass — see tracer.trace_alpha_to_compact), and the folded
+    carry is scattered back to full width once. `aux` is a pytree of
+    per-ray f32 arrays the slot body needs ((N,) or (C, N)); it rides
+    the same packed gather.
 
     Each slot is SHADED INSIDE the fold so the per-slot HitShade —
-    including its (TROW, N) gathered rows — fuses straight into the
-    carry update and is never materialized batch-wide (the previous
-    shade-all-then-resolve shape copied ~127 rows x N per slot through
-    lax.cond outputs and a concat; that was ~2/3 of primary-pass time).
-    Returns (carry, dropped) where dropped counts alpha hits beyond the
-    compacted-shade capacity (see shade_hits_compacted — surfaced so
-    the view can grow the capacity and re-specialize).
+    including its (TROW, M) gathered rows — fuses straight into the
+    carry update and is never materialized batch-wide. Slots are
+    UNROLLED with no runtime cond: lax.scan/cond here serializes each
+    slot's gather DMAs behind the previous slot's compute (profiled:
+    the control-flow loops were ~75% of the frame).
+
+    Returns (carry, dropped): dropped counts candidate alpha rays
+    beyond the compaction capacity — surfaced so the view can grow
+    the capacity and re-specialize (view.py).
     """
+    n = dirs.shape[1]
+    cap = max(1024, (n // 4) * cfg.alpha_shade_boost)
+    if trace_scene.has_alpha is True and k_alpha > 0:
+        # Compact-once path: opaque full-width, alpha fully compacted.
+        t_op, tri_op, uv_op, t_opb = tracer.trace_opaque_only(
+            origins, dirs, t_min, t_max, trace_scene,
+            cull_backface=cull_backface, chunk=cfg.tri_chunk,
+            opaque_fn=_opaque_fn(cfg),
+        )
+        ac = tracer.trace_alpha_to_compact(
+            origins, dirs, t_min, t_max, trace_scene, k_alpha,
+            cull_backface, cap, noise_rand, t_opaque_biased=t_opb,
+            extra=aux,
+        )
+        carry_c = make_carry(ac.origins, ac.dirs, ac.extra)
+        for s in range(k_alpha):
+            sh_c = shade_ops.shade_hits(
+                sb, tri_rows, ac.dirs, ac.tri[:, s], ac.uv[:, s, 0],
+                ac.uv[:, s, 1], ac.noise,
+            )
+            carry_c = slot_fn(carry_c, sh_c, ac.t[:, s], ac.origins,
+                              ac.dirs, ac.extra)
+        carry = _scatter_carry(make_carry(origins, dirs, aux), carry_c,
+                               ac.idx)
+        sh = shade_ops.shade_hits(
+            sb, tri_rows, dirs, tri_op, uv_op[:, 0], uv_op[:, 1],
+            noise_rand,
+        )
+        return slot_fn(carry, sh, t_op, origins, dirs, aux), ac.dropped
+
+    # Legacy path: alpha presence unknown at compile time (runtime cond
+    # inside tracer.trace) or statically absent.
     hits = tracer.trace(
         origins, dirs, t_min, t_max, trace_scene,
         k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
         opaque_fn=_opaque_fn(cfg),
-        alpha_compact=max(1024, (dirs.shape[1] // 4) * cfg.alpha_shade_boost),
+        alpha_compact=cap,
     )
-
-    # Alpha slots are sparse (a few % of rays, foliage fringes): shade
-    # only the hit lanes via compaction. The slots are UNROLLED with no
-    # per-slot runtime cond: a lax.scan/cond at this level serializes
-    # each slot's gather DMAs behind the previous slot's compute
-    # (profiled: the two control-flow loops were ~75% of the frame),
-    # while straight-line slots let XLA overlap DMA with compute. An
-    # empty slot costs one capacity-wide shade, which the compaction
-    # keeps small. A statically alpha-free scene compiles the alpha
-    # slots out entirely.
-    cap = max(512, (dirs.shape[1] // 8) * cfg.alpha_shade_boost)
+    carry = make_carry(origins, dirs, aux)
+    shade_cap = max(512, (n // 8) * cfg.alpha_shade_boost)
     n_alpha_slots = 0 if trace_scene.has_alpha is False else k_alpha
     dropped = hits.alpha_dropped
     for s in range(n_alpha_slots):
         sh, drop_s = shade_ops.shade_hits_compacted(
             sb, tri_rows, dirs, hits.tri_a[:, s], hits.uv_a[:, s, 0],
-            hits.uv_a[:, s, 1], noise_rand, cap,
+            hits.uv_a[:, s, 1], noise_rand, shade_cap,
         )
         dropped = dropped + drop_s
-        carry = slot_fn(carry, sh, hits.t_a[:, s])
+        carry = slot_fn(carry, sh, hits.t_a[:, s], origins, dirs, aux)
     sh = shade_ops.shade_hits(
         sb, tri_rows, dirs, hits.tri_op, hits.uv_op[:, 0],
         hits.uv_op[:, 1], noise_rand,
     )._replace(tri=hits.tri_op)
-    return slot_fn(carry, sh, hits.t_op), dropped
+    return slot_fn(carry, sh, hits.t_op, origins, dirs, aux), dropped
 
 
 def _row_of(tri_rows, tri, valid):
@@ -402,39 +478,37 @@ def primary_pass(
     """Trace + shade + front-to-back alpha resolve, fused per slot
     (PrimaryRayGen.hlsl:76-198)."""
     n = dirs.shape[1]
-    ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
 
-    res_a = jnp.ones((n,))
-    res_rgb = jnp.zeros((3, n))
-    res_transparent = jnp.zeros((3, n))
-    trans_lit_sum = jnp.zeros((3, n))
-    lock_acc = jnp.zeros((n,))
-    refl_alpha = jnp.zeros((n,))
-    refr_alpha = jnp.zeros((n,))
-    stored = jnp.zeros((n,), bool)
-    st_tri = jnp.zeros((n,), jnp.int32)  # winning tri id; row gathered once
-    st_pos = jnp.zeros((3, n))
-    st_nrm = -dirs
-    st_spec = jnp.zeros((3, n))
-    st_inst = jnp.full((n,), -1, jnp.int32)
-    st_flow3 = jnp.zeros((3, n))
-    tl_stored = jnp.zeros((n,), bool)
-    tl_tri = jnp.zeros((n,), jnp.int32)
-    tl_pos = jnp.zeros((3, n))
-    tl_nrm = jnp.zeros((3, n))
-    tl_spec = jnp.zeros((3, n))
+    def make_carry(origins, dirs, aux):
+        m = dirs.shape[1]
+        return (
+            jnp.ones((m,)),  # res_a
+            jnp.zeros((3, m)),  # res_rgb
+            jnp.zeros((3, m)),  # res_transparent
+            jnp.zeros((3, m)),  # trans_lit_sum
+            jnp.zeros((m,)),  # lock_acc
+            jnp.zeros((m,)),  # refl_alpha
+            jnp.zeros((m,)),  # refr_alpha
+            jnp.zeros((m,), bool),  # stored
+            jnp.zeros((m,), jnp.int32),  # st_tri; row gathered once at end
+            jnp.zeros((3, m)),  # st_pos
+            -dirs,  # st_nrm
+            jnp.zeros((3, m)),  # st_spec
+            jnp.full((m,), -1, jnp.int32),  # st_inst
+            jnp.zeros((3, m)),  # st_flow3
+            jnp.zeros((m,), bool),  # tl_stored
+            jnp.zeros((m,), jnp.int32),  # tl_tri
+            jnp.zeros((3, m)),  # tl_pos
+            jnp.zeros((3, m)),  # tl_nrm
+            jnp.zeros((3, m)),  # tl_spec
+        )
 
-    carry = (
-        res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
-        refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
-        st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec,
-    )
-
-    def slot_body(carry, sh, t_s):
+    def slot_body(carry, sh, t_s, origins, dirs, aux):
         (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
          refl_alpha, refr_alpha, stored, st_tri, st_pos, st_nrm, st_spec,
          st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm,
          tl_spec) = carry
+        ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
         color = sh.color  # (4, N)
         inst = sh.instance
         normal = sh.normal
@@ -528,7 +602,7 @@ def primary_pass(
 
     carry, alpha_dropped = _fold_shaded_slots(
         sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
-        cfg.k_primary, noise_rand, cfg, carry, slot_body,
+        cfg.k_primary, noise_rand, cfg, make_carry, slot_body,
     )
 
     (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,
@@ -677,14 +751,15 @@ def _simple_resolve_fold(
     """Fused trace+shade+resolve for secondary rays
     (IndirectRayGen.hlsl:95-117): accumulate color front-to-back,
     remember the last contributing hit."""
-    n = dirs.shape[1]
-    carry = (
-        jnp.ones((n,)), jnp.zeros((3, n)), jnp.zeros((3, n)),
-        jnp.zeros((3, n)), jnp.zeros((3, n)),
-        jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32),
-    )
+    def make_carry(origins, dirs, aux):
+        m = dirs.shape[1]
+        return (
+            jnp.ones((m,)), jnp.zeros((3, m)), jnp.zeros((3, m)),
+            jnp.zeros((3, m)), jnp.zeros((3, m)),
+            jnp.zeros((m,), jnp.int32), jnp.full((m,), -1, jnp.int32),
+        )
 
-    def slot_body(carry, sh, t_s):
+    def slot_body(carry, sh, t_s, origins, dirs, aux):
         res_a, res_rgb, res_pos, res_nrm, res_spec, res_tri, res_inst = carry
         inst = sh.instance
         valid = inst >= 0
@@ -708,7 +783,7 @@ def _simple_resolve_fold(
     ((res_a, res_rgb, res_pos, res_nrm, res_spec, res_tri, res_inst),
      dropped) = _fold_shaded_slots(
         sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
-        k_alpha, noise_rand, cfg, carry, slot_body,
+        k_alpha, noise_rand, cfg, make_carry, slot_body,
     )
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
@@ -826,17 +901,18 @@ def _lit_secondary_fold(
     """Fused trace+shade+resolve for reflection/refraction rays with the
     fog + lighting split (ReflectionRayGen.hlsl:68-126,
     RefractionRayGen.hlsl:63-110)."""
-    n = dirs.shape[1]
-    ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
-    carry = (
-        jnp.ones((n,)), jnp.zeros((3, n)), jnp.zeros((3, n)),
-        jnp.zeros((3, n)), jnp.zeros((3, n)), jnp.zeros((3, n)),
-        jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32),
-    )
+    def make_carry(origins, dirs, aux):
+        m = dirs.shape[1]
+        return (
+            jnp.ones((m,)), jnp.zeros((3, m)), jnp.zeros((3, m)),
+            jnp.zeros((3, m)), jnp.zeros((3, m)), jnp.zeros((3, m)),
+            jnp.zeros((m,), jnp.int32), jnp.full((m,), -1, jnp.int32),
+        )
 
-    def slot_body(carry, sh, t_s):
+    def slot_body(carry, sh, t_s, origins, dirs, aux):
         (res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec,
          res_tri, res_inst) = carry
+        ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
         grow = sh.rows_t
         mat = lambda off: grow[R.T_MAT + off]
         flags = grow[R.T_FLAGS].astype(jnp.int32)
@@ -885,7 +961,7 @@ def _lit_secondary_fold(
     ((res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec, res_tri,
       res_inst), dropped) = _fold_shaded_slots(
         sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
-        cfg.k_secondary, noise_rand, cfg, carry, slot_body,
+        cfg.k_secondary, noise_rand, cfg, make_carry, slot_body,
     )
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
@@ -997,18 +1073,25 @@ def _reflection_impl(
 
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, ray_dir)
     # Bug-compatible: the fresnel multiplier reads the *primary* pixel's
-    # material (ReflectionRayGen.hlsl:100).
+    # material (ReflectionRayGen.hlsl:100). Both it and the incoming
+    # reflection weight are per-pixel, so they ride the fold's aux
+    # gather into compacted space.
     primary_fresnel = sh_row[R.T_MAT + R.M_REFL_FRESNEL]
-    carry = (
-        jnp.ones((n,)), jnp.zeros((3, n)), jnp.zeros((3, n)),
-        jnp.zeros((3, n)), jnp.zeros((3, n)), jnp.zeros((3, n)),
-        jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,)),
-    )
 
-    def slot_body(carry, sh, t_s):
+    def make_carry(origins, dirs, aux):
+        m = dirs.shape[1]
+        return (
+            jnp.ones((m,)), jnp.zeros((3, m)), jnp.zeros((3, m)),
+            jnp.zeros((3, m)), jnp.zeros((3, m)), jnp.zeros((3, m)),
+            jnp.zeros((m,), jnp.int32), jnp.full((m,), -1, jnp.int32),
+            jnp.zeros((m,)),
+        )
+
+    def slot_body(carry, sh, t_s, origins, dirs, aux):
         (res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec,
          res_tri, res_inst, new_refl_a) = carry
+        refl_a, primary_fresnel = aux
+        ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, dirs)
         grow = sh.rows_t
         mat = lambda off: grow[R.T_MAT + off]
         flags = grow[R.T_FLAGS].astype(jnp.int32)
@@ -1017,11 +1100,11 @@ def _reflection_impl(
         ha = sh.color[3]
         alpha_contrib = res_a * ha
         live = valid & (alpha_contrib >= EPSILON) & (res_a > EPSILON)
-        hit_pos = sh_pos + ray_dir * t_s[None]
+        hit_pos = origins + dirs * t_s[None]
         fa = jnp.where(
             mat(R.M_FOG_ENABLED) > 0.0,
             fog.fog_alpha_from_origin(
-                hit_pos, sh_pos, mat(R.M_FOG_MUL), mat(R.M_FOG_OFFSET)
+                hit_pos, origins, mat(R.M_FOG_MUL), mat(R.M_FOG_OFFSET)
             ),
             0.0,
         )
@@ -1033,7 +1116,7 @@ def _reflection_impl(
 
         hit_refl = mat(R.M_REFLECTION)
         has_refl = live & (hit_refl > EPSILON)
-        fres = _fresnel(sh.normal, ray_dir, hit_refl, primary_fresnel)
+        fres = _fresnel(sh.normal, dirs, hit_refl, primary_fresnel)
         new_refl_a = new_refl_a + jnp.where(
             has_refl, fres * alpha_contrib * refl_a, 0.0
         )
@@ -1059,7 +1142,8 @@ def _reflection_impl(
     ((res_a, res_rgb, res_transparent, res_pos, res_nrm, res_spec, res_tri,
       res_inst, new_refl_a), refl_dropped) = _fold_shaded_slots(
         sb, tri_rows, trace_scene, sh_pos, ray_dir, t_min, t_max,
-        cfg.k_secondary, noise_rand, cfg, carry, slot_body,
+        cfg.k_secondary, noise_rand, cfg, make_carry, slot_body,
+        aux=(refl_a, primary_fresnel),
     )
 
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
