@@ -225,12 +225,20 @@ def compute_light(
         reflected = vm.reflect(-sample_dir, normal)
         ndotl = jnp.maximum(vm.dot(normal, sample_dir), 0.0)
         s_lambert = (ndotl + (1.0 - ndotl) * ctx.ignore_normal) * intensity
+        spec_dot = jnp.clip(vm.dot(reflected, -ray_dir) * intensity, 0.0, 1.0)
         if check_shadows:
             s_tmax = sample_dist - loffset
+            # A shadow ray whose diffuse AND specular terms are both
+            # zero (out of light range, or backfacing with no glint)
+            # multiplies the shadow factor into nothing — give it an
+            # empty interval so whole ray blocks skip traversal in the
+            # packet kernel and the alpha slab cull drops it. In the
+            # castle scene most terrain pixels are beyond one of the
+            # two light groups' radii, so this halves live shadow rays.
+            contributes = (s_lambert > EPSILON) | (spec_dot > EPSILON)
             if live is not None:
-                # Dead rays get an empty interval so whole ray blocks
-                # can skip traversal in the packet tracer.
-                s_tmax = jnp.where(live, s_tmax, -1.0)
+                contributes = contributes & live
+            s_tmax = jnp.where(contributes, s_tmax, -1.0)
             s_shadow, s_drop = trace_shadow_factor(
                 sb, tri_rows, trace_scene, position, sample_dir,
                 tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias,
@@ -241,7 +249,6 @@ def compute_light(
         else:
             s_shadow = jnp.ones_like(s_lambert)
             s_drop = jnp.int32(0)
-        spec_dot = jnp.clip(vm.dot(reflected, -ray_dir) * intensity, 0.0, 1.0)
         s_spec = specular * jnp.power(spec_dot, ctx.spec_exp)[None]
         lambert, spec_f, shadow_f, drop = carry
         return (
