@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from rt64tpu import descriptors as d
 from rt64tpu.ops import bluenoise, filters, fog, lighting, raster, sky, tracer
 from rt64tpu.ops import random as rnd
 from rt64tpu.ops import shading as shade_ops
@@ -122,6 +123,9 @@ class GlobalParams(NamedTuple):
     di_reproject: jax.Array  # bool
     gi_reproject: jax.Array  # bool
     binary_lock_mask: jax.Array  # bool
+    # resetAccumulation for the in-frame temporal upscaler
+    # (rt64_upscaler.h:40); None when the FSR slot is off.
+    temporal_reset: jax.Array | None = None
 
 
 class History(NamedTuple):
@@ -176,6 +180,9 @@ class FrameOutputs(NamedTuple):
     refraction: jax.Array  # (3, N)
     rt_output: jax.Array  # (3, H, W)
     alpha_dropped: jax.Array  # () int32 (see GBuffers.alpha_dropped)
+    # Temporal-upscaler history (3, DH, DW) when the FSR slot ran
+    # in-frame (donate back in as render_frame's `temporal`); else None.
+    temporal: jax.Array | None = None
 
 
 def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
@@ -1190,7 +1197,8 @@ def render_frame(
     history: History,
     bn_table,
     bg_planes,  # (3, H, W) raster background
-    cfg: RenderConfig,
+    temporal=None,  # (3, DH, DW) temporal-upscaler history (FSR slot)
+    cfg: RenderConfig = None,
     visualization_mode: int = 0,
     row_offset=0,
 ) -> FrameOutputs:
@@ -1304,10 +1312,43 @@ def render_frame(
         reflection_rgb, refraction_rgb, g.transparent,
     ))
 
-    # Upscale to display resolution (bilinear final blit; the temporal /
-    # learned upscalers run on these outputs in the view driver).
-    if (cfg.display_height, cfg.display_width) != (h, w):
-        disp = filters.bilinear_resize(rt_rgb, cfg.display_height, cfg.display_width)
+    # Upscale to display resolution IN-FRAME — the reference's
+    # production path renders at rtWidth x rtHeight and upscales before
+    # postprocess (rt64_view.cpp:114-141, 1584-1618). Running the
+    # upscaler inside the jitted frame keeps the temporal history
+    # donated on-device with no host round-trip between render and
+    # upscale.
+    new_temporal = None
+    scaling = (cfg.display_height, cfg.display_width) != (h, w)
+    if scaling and cfg.upscaler in (d.UPSCALER_FSR, d.UPSCALER_AUTO):
+        from rt64tpu.models import upscaler as ups
+
+        temporal_in = (
+            temporal if temporal is not None
+            else jnp.zeros((3, cfg.display_height, cfg.display_width))
+        )
+        reset = (
+            gp.temporal_reset if gp.temporal_reset is not None
+            else jnp.bool_(temporal is None)
+        )
+        disp = ups.temporal_accumulate(
+            temporal_in, rt_rgb, to_image(cfg, g.flow),
+            to_image(cfg, g.reactive), to_image(cfg, g.lock), reset,
+            cfg.display_height, cfg.display_width,
+        )
+        new_temporal = disp
+    elif scaling and cfg.upscaler in (d.UPSCALER_DLSS, d.UPSCALER_XESS):
+        from rt64tpu.models import learned_upscaler as lus
+
+        disp = lus._run(
+            lus.get_params(), rt_rgb, to_image(cfg, g.depth),
+            to_image(cfg, g.flow), to_image(cfg, g.reactive),
+            cfg.display_height, cfg.display_width,
+        )
+    elif scaling:
+        disp = filters.bilinear_resize(
+            rt_rgb, cfg.display_height, cfg.display_width
+        )
     else:
         disp = rt_rgb
 
@@ -1358,6 +1399,7 @@ def render_frame(
         refraction=refraction_rgb,
         rt_output=rt_rgb,
         alpha_dropped=alpha_dropped,
+        temporal=new_temporal,
     )
 
 

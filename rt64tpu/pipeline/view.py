@@ -114,21 +114,34 @@ class ViewRenderer:
 
         fn = self._get_jitted(cfg, view.visualization_mode)
         bg_planes = self._background_planes(cfg)
-        out = fn(self._sb, gp, self.history, self.bn_table, bg_planes)
+        # The temporal-upscaler history (FSR slot) is donated device
+        # state inside the jitted frame — no host round-trip between
+        # render and upscale (the reference's production internal-res
+        # path, rt64_view.cpp:114-141, 1584-1618).
+        scaling = (cfg.display_height, cfg.display_width) != (
+            cfg.rt_height, cfg.rt_width
+        )
+        needs_temporal = scaling and cfg.upscaler in (
+            d.UPSCALER_FSR, d.UPSCALER_AUTO
+        )
+        if needs_temporal:
+            shape = (3, cfg.display_height, cfg.display_width)
+            fresh = self._temporal is None or self._temporal.shape != shape
+            if fresh:
+                # Fresh history: zeros + resetAccumulation, so frame 0
+                # and frame 1 share one trace (None vs array would
+                # otherwise recompile the frame).
+                self._temporal = jnp.zeros(shape, jnp.float32)
+            temporal = self._temporal
+            gp = gp._replace(temporal_reset=jnp.bool_(fresh))
+        else:
+            temporal = None
+        out = fn(self._sb, gp, self.history, self.bn_table, bg_planes,
+                 temporal)
         self.history = out.history
+        self._temporal = out.temporal
         self._last = out
-
         img = out.image
-        # Temporal upscaler stage (FSR slot) runs on frame outputs.
-        if cfg.upscaler in (d.UPSCALER_FSR, d.UPSCALER_AUTO) and (
-            (cfg.display_height, cfg.display_width)
-            != (cfg.rt_height, cfg.rt_width)
-        ):
-            img, self._temporal = ups.temporal_upscale_step(
-                self._temporal, out, cfg
-            )
-        elif cfg.upscaler in (d.UPSCALER_DLSS, d.UPSCALER_XESS):
-            img = ups.learned_upscale(out, cfg)
 
         if self.pipelined:
             # Present the PREVIOUS frame; leave this one in flight.
@@ -154,7 +167,9 @@ class ViewRenderer:
         if fn is None:
             fn = jax.jit(
                 partial(fg.render_frame, cfg=cfg, visualization_mode=vis_mode),
-                donate_argnums=(2,),
+                # Donate temporal history AND the upscaler history: both
+                # are consumed and re-produced every frame.
+                donate_argnums=(2, 5),
             )
             self._jitted[key] = fn
         return fn
@@ -264,6 +279,8 @@ class ViewRenderer:
         )
 
     def _background_planes(self, cfg):
-        """Raster-background plane (rt64_view.cpp:1292-1319). Black until
-        the raster path lands; planar (3, H, W)."""
+        """Base plane the in-frame raster-background pass composites
+        onto (rt64_view.cpp:1292-1319; raster happens inside
+        render_frame — framegraph.py raster.rasterize call). Black base,
+        planar (3, H, W)."""
         return jnp.zeros((3, cfg.rt_height, cfg.rt_width), jnp.float32)

@@ -54,6 +54,60 @@ def test_temporal_accumulate_converges():
     np.testing.assert_allclose(np.asarray(prev), np.asarray(out), atol=1e-3)
 
 
+def test_infrm_temporal_upscaler_fused_path():
+    """The production internal-res path (rt64_view.cpp:114-141,
+    1584-1618): with the FSR slot on, render_frame renders at the
+    quality-table internal resolution and upscales IN-JIT — the
+    temporal history rides the frame outputs (FrameOutputs.temporal),
+    no host round-trip between render and upscale."""
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    dev, scene, view = build_sample_scene(
+        width=128, height=96, gi_samples=0, upscaler=d.UPSCALER_FSR,
+    )
+    view.desc.upscaler_mode = d.UPSCALER_MODE_PERFORMANCE  # 50% internal
+    dev.draw()
+    r = view._renderer
+    cfg = r._config()
+    assert (cfg.rt_width, cfg.rt_height) == (64, 48)
+    assert (cfg.display_width, cfg.display_height) == (128, 96)
+    # Display-res output, in-frame history produced.
+    assert r._last.image.shape == (3, 96, 128)
+    assert r._last.temporal is not None
+    assert r._last.temporal.shape == (3, 96, 128)
+    fb = view.framebuffer()
+    assert fb.shape == (96, 128, 4)
+    assert fb[..., :3].std() > 5
+    # Frame 0 (reset) == bilinear upscale of the internal render.
+    from rt64tpu.ops import filters
+
+    want = np.asarray(filters.bilinear_resize(r._last.rt_output, 96, 128))
+    np.testing.assert_allclose(np.asarray(r._last.image), want, atol=1e-5)
+    # Subsequent frames accumulate on-device (history identity flows).
+    first = np.asarray(r._last.image)
+    for _ in range(3):
+        dev.draw()
+    later = np.asarray(r._last.image)
+    # Static scene, jittered rays: stays close but not byte-identical.
+    assert np.abs(later - first).mean() < 0.1
+
+
+def test_infrm_learned_upscaler_fused_path():
+    """DLSS/XeSS slot fused in-jit: display-res output straight from
+    render_frame, no temporal state."""
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    dev, scene, view = build_sample_scene(
+        width=128, height=96, gi_samples=0, upscaler=d.UPSCALER_DLSS,
+    )
+    view.desc.upscaler_mode = d.UPSCALER_MODE_PERFORMANCE
+    dev.draw()
+    r = view._renderer
+    assert r._last.image.shape == (3, 96, 128)
+    assert r._last.temporal is None
+    assert view.framebuffer()[..., :3].std() > 5
+
+
 def test_learned_upscaler_residual_start():
     """A freshly initialized CNN starts at (near) identity over
     bilinear (zero-init final conv); shipped trained params may
