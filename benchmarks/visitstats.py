@@ -92,6 +92,19 @@ def main():
         tracer.trace_shadow = orig_shadow
 
     print(f"captured {len(captured)} trace calls")
+    # Persist the captured populations + scene for offline sweeps.
+    save = {}
+    for i, (kind, o, d, tmin, tmax) in enumerate(captured):
+        save[f"{i}_{kind}_o"] = np.asarray(o)
+        save[f"{i}_{kind}_d"] = np.asarray(d)
+        save[f"{i}_{kind}_tmin"] = np.asarray(tmin)
+        save[f"{i}_{kind}_tmax"] = np.asarray(tmax)
+    save["v0"] = np.asarray(ts.v0); save["v1"] = np.asarray(ts.v1)
+    save["v2"] = np.asarray(ts.v2)
+    save["valid"] = np.asarray(ts.valid); save["alpha"] = np.asarray(ts.alpha)
+    save["no_cull"] = np.asarray(ts.no_cull); save["bias"] = np.asarray(ts.bias)
+    np.savez("/tmp/castle_rays.npz", **save)
+    print("saved /tmp/castle_rays.npz")
     cluster_tris, lo, hi = tp.build_cluster_data(ts)
     for kind, o, d, tmin, tmax in captured:
         o = jnp.asarray(o)
