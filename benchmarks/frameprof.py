@@ -106,6 +106,7 @@ def main():
         stats_meta = plane.stat_metadata
         by_op = collections.Counter()
         by_cat = collections.Counter()
+        cat_n = collections.Counter()
         module_total = 0.0
         for line in plane.lines:
             if line.name == "XLA Modules":
@@ -126,6 +127,7 @@ def main():
                             break
                 by_op[name] += ms
                 by_cat[cat or "?"] += ms
+                cat_n[cat or "?"] += 1
         if not by_op:
             continue
         print(f"\n=== plane {plane.name} ===")
@@ -133,7 +135,9 @@ def main():
               f"({module_total/max(args.frames,1):.2f} ms/frame)")
         print(f"\nby category (ms over {args.frames} frames):")
         for cat, ms in by_cat.most_common(20):
-            print(f"  {cat:<30}{ms:>10.2f}")
+            n = cat_n[cat]
+            print(f"  {cat:<30}{ms:>10.2f}  n={n:<6} "
+                  f"avg={1000.0 * ms / max(n, 1):.1f}us")
         print(f"\ntop {args.top} ops:")
         for name, ms in by_op.most_common(args.top):
             print(f"  {ms:>9.2f}  {name[:110]}")

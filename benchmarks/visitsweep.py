@@ -1,108 +1,93 @@
 #!/usr/bin/env python
 """Offline sweep over captured castle rays (/tmp/castle_rays.npz from
-visitstats.py): total ray-tri pairs for different BLOCK_RAYS choices,
-plus the exact per-ray x cluster bound (what a perfect block-level cull
-would visit at each granularity).
+visitstats.py), pure NumPy (no jit): per-population exact per-ray x
+cluster visit bounds at several cluster granularities, plus the effect
+of masking dead rays out of the level-1 test.
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import numpy as np
-import jax
-jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp
 
-from rt64tpu.ops import tracer_pallas as tp
-from rt64tpu.ops import tracer
+_BIG = 3.0e37
+
+
+def slab_per_ray(o, d, tmin, tmax, lo, hi):
+    """NumPy mirror of tracer_pallas._slab_per_ray (N, M)."""
+    n = o.shape[1]
+    m = lo.shape[1]
+    t_lo = np.full((n, m), -np.inf, np.float32)
+    t_hi = np.full((n, m), np.inf, np.float32)
+    for c in range(3):
+        oc = o[c][:, None]
+        dc = d[c]
+        par = (np.abs(dc) <= 1e-12)[:, None]
+        idir = (1.0 / np.where(np.abs(dc) > 1e-12, dc, 1.0))[:, None]
+        ta = (lo[c][None, :] - oc) * idir
+        tb = (hi[c][None, :] - oc) * idir
+        t_lo = np.maximum(t_lo, np.where(par, -_BIG, np.minimum(ta, tb)))
+        t_hi = np.minimum(t_hi, np.where(par, _BIG, np.maximum(ta, tb)))
+    t_lo = t_lo - np.abs(t_lo) * 1e-5 - 1e-4
+    t_hi = t_hi + np.abs(t_hi) * 1e-5 + 1e-4
+    hit = (t_lo <= t_hi) & (t_hi >= tmin[:, None]) & (t_lo <= tmax[:, None])
+    box_ok = np.all(lo <= hi, axis=0)
+    return hit & box_ok[None, :]
+
+
+def cluster_boxes(v0, v1, v2, act, cs):
+    t = v0.shape[1]
+    ncs = t // cs
+    lo_t = np.minimum(np.minimum(v0, v1), v2)
+    hi_t = np.maximum(np.maximum(v0, v1), v2)
+    lo = np.where(act, lo_t, _BIG).reshape(3, ncs, cs).min(axis=2)
+    hi = np.where(act, hi_t, -_BIG).reshape(3, ncs, cs).max(axis=2)
+    return lo.astype(np.float32), hi.astype(np.float32)
 
 
 def main():
     d = np.load("/tmp/castle_rays.npz")
-    scene = tracer.TraceScene(
-        v0=jnp.asarray(d["v0"]), v1=jnp.asarray(d["v1"]),
-        v2=jnp.asarray(d["v2"]), valid=jnp.asarray(d["valid"]),
-        alpha=jnp.asarray(d["alpha"]), no_cull=jnp.asarray(d["no_cull"]),
-        bias=jnp.asarray(d["bias"]), alpha_idx=None,
-    )
-    cluster_tris, lo, hi = tp.build_cluster_data(scene)
-    nc = lo.shape[1]
+    v0, v1, v2 = d["v0"], d["v1"], d["v2"]
+    act = (d["valid"] & ~d["alpha"])[None] > 0
+
     pops = []
     i = 0
     while f"{i}_opaque_o" in d or f"{i}_shadow_o" in d:
         kind = "opaque" if f"{i}_opaque_o" in d else "shadow"
-        pops.append((
-            f"{i}:{kind}",
-            jnp.asarray(d[f"{i}_{kind}_o"]), jnp.asarray(d[f"{i}_{kind}_d"]),
-            jnp.asarray(d[f"{i}_{kind}_tmin"]), jnp.asarray(d[f"{i}_{kind}_tmax"]),
-        ))
+        pops.append((f"{i}:{kind}", d[f"{i}_{kind}_o"], d[f"{i}_{kind}_d"],
+                     d[f"{i}_{kind}_tmin"], d[f"{i}_{kind}_tmax"]))
         i += 1
 
+    br = 512
     for name, o, dd, tmin, tmax in pops:
         n = o.shape[1]
-        row = [name]
-        for br in (128, 256, 512):
-            pad = (-n) % br
-            if pad:
-                padf = lambda a: jnp.concatenate(
-                    [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
-                pad1 = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
-                op, dp = padf(o), padf(dd)
-                tminp, tmaxp = pad1(tmin), pad1(tmax) - 1.0
-            else:
-                op, dp, tminp, tmaxp = o, dd, tmin, tmax
-            _, counts, _ = tp.block_visit_lists(op, dp, tminp, tmaxp, lo, hi, br)
-            total = int(np.asarray(counts).sum())
-            pairs = total * br * 128 / 1e6
-            # Exact bound: per-ray x cluster slab (dead rays masked),
-            # any() per block.
-            live = (tmaxp >= tminp)
-            hit, _ = tp._slab_per_ray(op, dp, tminp, tmaxp, lo, hi)
-            hit = hit & live[:, None]
-            exact = int(np.asarray(
-                hit.reshape(-1, br, nc).any(axis=1).sum()))
-            epairs = exact * br * 128 / 1e6
-            row.append(f"br={br}: visits={total} ({pairs:.0f}Mpairs) "
-                       f"exact={exact} ({epairs:.0f}M)")
-        print(row[0])
-        for r in row[1:]:
-            print("   ", r)
-        # Sub-cluster granularity payoff at br=512: exact per-ray slab
-        # against finer Morton-run boxes; pairs assume perfect 128-lane
-        # packing of sub-cluster tiles.
-        br = 512
         pad = (-n) % br
         if pad:
-            padf = lambda a: jnp.concatenate(
-                [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
-            pad1 = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
-            op, dp = padf(o), padf(dd)
-            tminp, tmaxp = pad1(tmin), pad1(tmax) - 1.0
-        else:
-            op, dp, tminp, tmaxp = o, dd, tmin, tmax
-        live = (tmaxp >= tminp)
+            o = np.concatenate([o, np.zeros((3, pad), o.dtype)], axis=1)
+            dd = np.concatenate([dd, np.zeros((3, pad), dd.dtype)], axis=1)
+            tmin = np.concatenate([tmin, np.zeros(pad, tmin.dtype)])
+            tmax = np.concatenate([tmax, np.full(pad, -1.0, tmax.dtype)])
+        live = tmax >= tmin
+        nlive = int(live.sum())
+        print(f"{name}: n={o.shape[1]} live={nlive} ({100*nlive//o.shape[1]}%)")
         for cs in (128, 64, 32):
-            t_total = scene.v0.shape[1]
-            ncs = t_total // cs
-            act = ((d["valid"] & ~d["alpha"]))[None] > 0
-            big = 3.0e37
-            v0n, v1n, v2n = [np.asarray(x) for x in (scene.v0, scene.v1, scene.v2)]
-            lo_t = np.minimum(np.minimum(v0n, v1n), v2n)
-            hi_t = np.maximum(np.maximum(v0n, v1n), v2n)
-            lo_c = jnp.asarray(
-                np.where(act, lo_t, big).reshape(3, ncs, cs).min(axis=2))
-            hi_c = jnp.asarray(
-                np.where(act, hi_t, -big).reshape(3, ncs, cs).max(axis=2))
-            hit, _ = tp._slab_per_ray(op, dp, tminp, tmaxp, lo_c, hi_c)
-            hit = hit & live[:, None]
-            blk = np.asarray(hit.reshape(-1, br, ncs).any(axis=1))
+            lo, hi = cluster_boxes(v0, v1, v2, act, cs)
+            ncs = lo.shape[1]
+            blks, leaks = [], []
+            chunk = 16 * br
+            for s in range(0, o.shape[1], chunk):
+                sl = slice(s, s + chunk)
+                hit = slab_per_ray(o[:, sl], dd[:, sl], tmin[sl], tmax[sl],
+                                   lo, hi)
+                lv = live[sl][:, None]
+                blks.append((hit & lv).reshape(-1, br, ncs).any(axis=1))
+                leaks.append((hit & ~lv).reshape(-1, br, ncs).any(axis=1))
+            blk = np.concatenate(blks)
             vis = int(blk.sum())
+            # tiles = 128-lane compute tiles if sub-clusters packed
+            # perfectly into 128-wide tiles per block
             tiles = int(np.ceil(blk.sum(axis=1) * cs / 128).sum())
-            print(f"    cs={cs}: sub-visits={vis} -> tiles={tiles} "
-                  f"({tiles * br * 128 / 1e6:.0f}Mpairs)")
+            leak = int(np.concatenate(leaks).sum())
+            print(f"  cs={cs:3d}: block-visits={vis}"
+                  f" tiles128={tiles} ({tiles * br * 128 / 1e6:.0f}Mpairs)"
+                  f" [+deadray-only blocks {leak}]")
 
 
 if __name__ == "__main__":
