@@ -269,6 +269,167 @@ void RT64_DestroyInspector(RT64_INSPECTOR *inspector);
 void RT64_GetViewFrameSize(RT64_VIEW *view, int *width, int *height);
 bool RT64_GetViewFramePixels(RT64_VIEW *view, void *dst, size_t dstSize);
 
+/* Header-inline attribute overlay (the rt64.h:207-267 contract): copy
+ * into dst exactly the fields whose bits are set in src's
+ * enabledAttributes. Hosts compose a base material with per-surface
+ * override sets through this before SetInstanceDescription; the
+ * Python-side mirror lives in rt64tpu/descriptors.py. */
+#define RT64_TPU_ATTR_FIELDS(X)                                     \
+    X(RT64_ATTRIBUTE_IGNORE_NORMAL_FACTOR, ignoreNormalFactor)      \
+    X(RT64_ATTRIBUTE_UV_DETAIL_SCALE, uvDetailScale)                \
+    X(RT64_ATTRIBUTE_REFLECTION_FACTOR, reflectionFactor)           \
+    X(RT64_ATTRIBUTE_REFLECTION_FRESNEL_FACTOR, reflectionFresnelFactor) \
+    X(RT64_ATTRIBUTE_REFLECTION_SHINE_FACTOR, reflectionShineFactor) \
+    X(RT64_ATTRIBUTE_REFRACTION_FACTOR, refractionFactor)           \
+    X(RT64_ATTRIBUTE_SPECULAR_COLOR, specularColor)                 \
+    X(RT64_ATTRIBUTE_SPECULAR_EXPONENT, specularExponent)           \
+    X(RT64_ATTRIBUTE_SOLID_ALPHA_MULTIPLIER, solidAlphaMultiplier)  \
+    X(RT64_ATTRIBUTE_SHADOW_ALPHA_MULTIPLIER, shadowAlphaMultiplier) \
+    X(RT64_ATTRIBUTE_DEPTH_BIAS, depthBias)                         \
+    X(RT64_ATTRIBUTE_SHADOW_RAY_BIAS, shadowRayBias)                \
+    X(RT64_ATTRIBUTE_SELF_LIGHT, selfLight)                         \
+    X(RT64_ATTRIBUTE_LIGHT_GROUP_MASK_BITS, lightGroupMaskBits)     \
+    X(RT64_ATTRIBUTE_DIFFUSE_COLOR_MIX, diffuseColorMix)
+
+static inline void RT64_ApplyMaterialAttributes(RT64_MATERIAL *dst,
+                                                RT64_MATERIAL *src) {
+#define RT64_TPU_COPY_ATTR(bit, field) \
+    if (src->enabledAttributes & (bit)) dst->field = src->field;
+    RT64_TPU_ATTR_FIELDS(RT64_TPU_COPY_ATTR)
+#undef RT64_TPU_COPY_ATTR
+}
+
+/*
+ * Runtime binding (the rt64.h:269-342 contract, POSIX-flavored): a
+ * function-pointer table over every exported entry point plus a
+ * dlopen-based loader, so a reference-style host binds to the backend
+ * at runtime without link-time symbols. Define RT64_MINIMAL before
+ * including this header to bind only the device-probe subset (the
+ * mode sm64rt uses for backend detection); define RT64_TPU_NO_LOADER
+ * to get the table type without pulling in <dlfcn.h>.
+ *
+ * Library search order: $RT64TPU_LIBRARY if set, else "librt64tpu.so"
+ * through the normal dynamic-linker path (rpath / LD_LIBRARY_PATH).
+ * On failure, .handle is NULL. Check any member before use: a member
+ * is NULL when the loaded library predates that entry point.
+ */
+typedef struct {
+    void *handle;
+    const char *(*GetLastError)(void);
+    RT64_DEVICE *(*CreateDevice)(void *window);
+    void (*DestroyDevice)(RT64_DEVICE *device);
+#ifndef RT64_MINIMAL
+    void (*DrawDevice)(RT64_DEVICE *device, int vsyncInterval,
+                       float deltaTimeMs);
+    RT64_VIEW *(*CreateView)(RT64_SCENE *scene);
+    void (*SetViewPerspective)(RT64_VIEW *view, RT64_MATRIX4 viewMatrix,
+                               float fovRadians, float nearDist,
+                               float farDist, bool canReproject);
+    void (*SetViewDescription)(RT64_VIEW *view, RT64_VIEW_DESC viewDesc);
+    void (*SetViewSkyPlane)(RT64_VIEW *view, RT64_TEXTURE *texture);
+    RT64_INSTANCE *(*GetViewRaytracedInstanceAt)(RT64_VIEW *view, int x,
+                                                 int y);
+    bool (*GetViewUpscalerSupport)(RT64_VIEW *view, char upscaler);
+    void (*DestroyView)(RT64_VIEW *view);
+    RT64_SCENE *(*CreateScene)(RT64_DEVICE *device);
+    void (*SetSceneDescription)(RT64_SCENE *scene, RT64_SCENE_DESC sceneDesc);
+    void (*SetSceneLights)(RT64_SCENE *scene, RT64_LIGHT *lightArray,
+                           int lightCount);
+    void (*DestroyScene)(RT64_SCENE *scene);
+    RT64_MESH *(*CreateMesh)(RT64_DEVICE *device, int flags);
+    void (*SetMesh)(RT64_MESH *mesh, void *vertexArray, int vertexCount,
+                    int vertexStride, unsigned int *indexArray,
+                    int indexCount);
+    void (*DestroyMesh)(RT64_MESH *mesh);
+    RT64_SHADER *(*CreateShader)(RT64_DEVICE *device, unsigned int shaderId,
+                                 unsigned int filter, unsigned int hAddr,
+                                 unsigned int vAddr, int flags);
+    void (*DestroyShader)(RT64_SHADER *shader);
+    RT64_INSTANCE *(*CreateInstance)(RT64_SCENE *scene);
+    void (*SetInstanceDescription)(RT64_INSTANCE *instance,
+                                   RT64_INSTANCE_DESC instanceDesc);
+    void (*DestroyInstance)(RT64_INSTANCE *instance);
+    void (*SetInstanceAltTexture)(RT64_INSTANCE *instance,
+                                  RT64_TEXTURE *texture);
+    RT64_TEXTURE *(*CreateTexture)(RT64_DEVICE *device,
+                                   RT64_TEXTURE_DESC desc);
+    void (*DestroyTexture)(RT64_TEXTURE *texture);
+    RT64_INSPECTOR *(*CreateInspector)(RT64_DEVICE *device);
+    bool (*HandleMessageInspector)(RT64_INSPECTOR *inspector,
+                                   unsigned int msg, unsigned long wParam,
+                                   long lParam);
+    void (*SetSceneInspector)(RT64_INSPECTOR *inspector,
+                              RT64_SCENE_DESC *sceneDesc);
+    void (*SetMaterialInspector)(RT64_INSPECTOR *inspector,
+                                 RT64_MATERIAL *material,
+                                 const char *materialName);
+    void (*SetLightsInspector)(RT64_INSPECTOR *inspector, RT64_LIGHT *lights,
+                               int *lightCount, int maxLightCount);
+    void (*PrintClearInspector)(RT64_INSPECTOR *inspector);
+    void (*PrintMessageInspector)(RT64_INSPECTOR *inspector,
+                                  const char *message);
+    void (*DestroyInspector)(RT64_INSPECTOR *inspector);
+    void (*GetViewFrameSize)(RT64_VIEW *view, int *width, int *height);
+    bool (*GetViewFramePixels)(RT64_VIEW *view, void *dst, size_t dstSize);
+#endif /* !RT64_MINIMAL */
+} RT64_LIBRARY;
+
+#ifndef RT64_TPU_NO_LOADER
+
+#ifdef __cplusplus
+}  /* pause extern "C" for the system includes */
+#endif
+#include <dlfcn.h>
+#include <stdlib.h>
+#include <string.h>
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#ifdef RT64_MINIMAL
+#define RT64_TPU_API_LIST(X) X(GetLastError) X(CreateDevice) X(DestroyDevice)
+#else
+#define RT64_TPU_API_LIST(X)                                          \
+    X(GetLastError) X(CreateDevice) X(DestroyDevice) X(DrawDevice)    \
+    X(CreateView) X(SetViewPerspective) X(SetViewDescription)         \
+    X(SetViewSkyPlane) X(GetViewRaytracedInstanceAt)                  \
+    X(GetViewUpscalerSupport) X(DestroyView) X(CreateScene)           \
+    X(SetSceneDescription) X(SetSceneLights) X(DestroyScene)          \
+    X(CreateMesh) X(SetMesh) X(DestroyMesh) X(CreateShader)           \
+    X(DestroyShader) X(CreateInstance) X(SetInstanceDescription)      \
+    X(DestroyInstance) X(SetInstanceAltTexture) X(CreateTexture)      \
+    X(DestroyTexture) X(CreateInspector) X(HandleMessageInspector)    \
+    X(SetSceneInspector) X(SetMaterialInspector) X(SetLightsInspector) \
+    X(PrintClearInspector) X(PrintMessageInspector) X(DestroyInspector) \
+    X(GetViewFrameSize) X(GetViewFramePixels)
+#endif
+
+static inline RT64_LIBRARY RT64_LoadLibrary(void) {
+    RT64_LIBRARY lib;
+    const char *path;
+    memset(&lib, 0, sizeof(lib));
+    path = getenv("RT64TPU_LIBRARY");
+    lib.handle = dlopen(path != NULL ? path : "librt64tpu.so",
+                        RTLD_NOW | RTLD_GLOBAL);
+    if (lib.handle == NULL) {
+        return lib;
+    }
+#define RT64_TPU_BIND(name) \
+    *(void **)(&lib.name) = dlsym(lib.handle, "RT64_" #name);
+    RT64_TPU_API_LIST(RT64_TPU_BIND)
+#undef RT64_TPU_BIND
+    return lib;
+}
+
+static inline void RT64_UnloadLibrary(RT64_LIBRARY *lib) {
+    if (lib != NULL && lib->handle != NULL) {
+        dlclose(lib->handle);
+        memset(lib, 0, sizeof(*lib));
+    }
+}
+
+#endif /* !RT64_TPU_NO_LOADER */
+
 #ifdef __cplusplus
 }
 #endif
