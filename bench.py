@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Headline benchmark: frames/sec + Mrays/s on the sample scene.
+"""Headline benchmark: frames/sec + Mrays/s on the BASELINE ladder.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured fps / 60 (the BASELINE.md target: 60 fps at
-1080p-internal on one TPU chip; the config ladder starts at 320x240).
+1080p-internal on one TPU chip).
+
+Rungs are measured on the reference's PRODUCTION path: when the rung
+carries an upscaler, the frame renders at the upscaler quality table's
+internal resolution and upscales to the display resolution in-frame
+(rt64_view.cpp:114-141, 1584-1618) — the same way the reference ships.
+`--native` measures the same rung with the upscaler off (render ==
+display resolution) for the honest-native column in RESULTS.md.
 
 Frames are chained device-side through the donated temporal history
 (lax.scan) so remote-dispatch latency does not pollute the number —
@@ -11,6 +18,7 @@ this mirrors a production loop where the host only syncs to present.
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -29,20 +37,29 @@ _enable_cache()
 import numpy as np
 
 
-# BASELINE.md config ladder presets (scene, w, h, di, gi, reflections).
+# BASELINE.md config ladder presets:
+# (scene, display_w, display_h, di, gi, reflections, upscaler, mode).
+# Upscaler/mode follow the reference's production defaults: FSR AUTO
+# picks the quality rung from the display size (rt64_upscaler.cpp:11-36);
+# config 5 is BASELINE's "full pipeline + learned upscaler 1080p->4K"
+# (DLSS slot, Performance = 1/2 scale -> 1920x1080 internal).
 CONFIGS = {
-    1: ("sample", 320, 240, 1, 0, 0),   # primary + hard shadows
-    2: ("castle", 640, 480, 1, 0, 0),   # streamed castle + combiner + DI
-    3: ("castle", 1280, 720, 1, 1, 0),  # + 1-bounce GI
-    4: ("castle", 1280, 720, 1, 1, 2),  # + reflections/refraction/alpha
-    5: ("castle", 1920, 1080, 1, 1, 2), # full pipeline at 1080p
+    1: ("sample", 320, 240, 1, 0, 0, "off", "auto"),
+    2: ("castle", 640, 480, 1, 0, 0, "fsr", "auto"),
+    3: ("castle", 1280, 720, 1, 1, 0, "fsr", "auto"),
+    4: ("castle", 1280, 720, 1, 1, 2, "fsr", "auto"),
+    5: ("castle", 3840, 2160, 1, 1, 2, "dlss", "performance"),
+}
+
+UPSCALERS = {"off": 0x0, "auto": 0x1, "dlss": 0x2, "fsr": 0x3, "xess": 0x4}
+MODES = {
+    "auto": 0x0, "ultra_performance": 0x1, "performance": 0x2,
+    "balanced": 0x3, "quality": 0x4, "ultra_quality": 0x5, "native": 0x6,
 }
 
 
-def measure(scene_name, width, height, di, gi, reflections, frames, reps):
-    """Return fps for one ladder rung (device-side chained frames)."""
-    import jax
-    from rt64tpu.pipeline import framegraph as fg
+def build(scene_name, width, height, di, gi, reflections, upscaler, mode):
+    from rt64tpu import descriptors as d
 
     if scene_name == "castle":
         from rt64tpu.utils.castle_scene import build_castle_scene
@@ -55,28 +72,96 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps):
             width=width, height=height, di_samples=di, gi_samples=gi,
         )
     view.max_reflections = reflections
+    vd = dataclasses.replace(
+        view.desc, upscaler=UPSCALERS[upscaler], upscaler_mode=MODES[mode],
+    )
+    view.set_description(vd)
     view.update()
+    return dev, scene, view
+
+
+def measure(scene_name, width, height, di, gi, reflections, frames, reps,
+            upscaler="off", mode="auto"):
+    """Return (fps, cfg) for one ladder rung (device-side chained frames)."""
+    import jax
+    import jax.numpy as jnp
+    from rt64tpu import descriptors as d
+    from rt64tpu.pipeline import framegraph as fg
+
+    dev, scene, view = build(
+        scene_name, width, height, di, gi, reflections, upscaler, mode,
+    )
     r = view._renderer
     cfg = r._config()
     gp = r._global_params(cfg)
     hist = fg.History.zeros(cfg.rt_height, cfg.rt_width)
     bg = r._background_planes(cfg)
+    scaling = (cfg.display_height, cfg.display_width) != (
+        cfg.rt_height, cfg.rt_width
+    )
+    carries_temporal = scaling and cfg.upscaler in (
+        d.UPSCALER_FSR, d.UPSCALER_AUTO
+    )
+    if carries_temporal:
+        gp = gp._replace(temporal_reset=jnp.bool_(False))
+        temporal0 = jnp.zeros(
+            (3, cfg.display_height, cfg.display_width), jnp.float32
+        )
 
-    def run_frames(sb, gp, hist, bn, bg):
-        def body(h, _):
-            o = fg.render_frame(sb, gp, h, bn, bg, cfg=cfg)
-            return o.history, o.image.mean()
-        h2, means = jax.lax.scan(body, hist, None, length=frames)
-        return means
+        def run_frames(sb, gp, hist, temporal, bn, bg):
+            def body(carry, _):
+                h, tmp = carry
+                o = fg.render_frame(sb, gp, h, bn, bg, tmp, cfg=cfg)
+                return (o.history, o.temporal), o.image.mean()
+            _, means = jax.lax.scan(
+                body, (hist, temporal), None, length=frames
+            )
+            return means
 
-    jf = jax.jit(run_frames, donate_argnums=(2,))
-    np.asarray(jf(r._sb, gp, hist, r.bn_table, bg))  # compile+warm
+        jf = jax.jit(run_frames, donate_argnums=(2, 3))
+        args = lambda h: (r._sb, gp, h, temporal0, r.bn_table, bg)
+    else:
+        def run_frames(sb, gp, hist, bn, bg):
+            def body(h, _):
+                o = fg.render_frame(sb, gp, h, bn, bg, cfg=cfg)
+                return o.history, o.image.mean()
+            _, means = jax.lax.scan(body, hist, None, length=frames)
+            return means
+
+        jf = jax.jit(run_frames, donate_argnums=(2,))
+        args = lambda h: (r._sb, gp, h, r.bn_table, bg)
+
+    np.asarray(jf(*args(hist)))  # compile+warm
     t0 = time.time()
     for _ in range(reps):
         hist = fg.History.zeros(cfg.rt_height, cfg.rt_width)
-        np.asarray(jf(r._sb, gp, hist, r.bn_table, bg))
+        np.asarray(jf(*args(hist)))
     dt = (time.time() - t0) / (reps * frames)
-    return 1.0 / dt
+    return 1.0 / dt, cfg
+
+
+def measure_ssim(scene_name, width, height, di, gi, reflections,
+                 upscaler, mode, frames=8):
+    """SSIM of the production (internal-res + upscale) final frame vs a
+    native-resolution render of the same scene/frame — the fidelity
+    column for RESULTS.md."""
+    import jax
+    import jax.numpy as jnp
+    from rt64tpu import descriptors as d
+    from rt64tpu.pipeline import framegraph as fg
+    from rt64tpu.utils.ssim import ssim
+
+    def final_image(ups, md):
+        dev, scene, view = build(
+            scene_name, width, height, di, gi, reflections, ups, md,
+        )
+        for _ in range(frames):
+            dev.draw()
+        return np.asarray(view.framebuffer()[..., :3], np.float64) / 255.0
+
+    prod = final_image(upscaler, mode)
+    native = final_image("off", "auto")
+    return float(ssim(prod, native, data_range=1.0))
 
 
 def rung_mrays(width, height, di, gi, reflections, fps):
@@ -110,6 +195,13 @@ def main():
     ap.add_argument("--target-fps", type=float, default=60.0)
     ap.add_argument("--scene", choices=["sample", "castle"], default=None,
                     help="castle = castle-grounds analog (the BASELINE workload)")
+    ap.add_argument("--native", action="store_true",
+                    help="force upscaler off (render at display resolution)")
+    ap.add_argument("--upscaler", choices=sorted(UPSCALERS), default=None)
+    ap.add_argument("--quality", choices=sorted(MODES), default=None)
+    ap.add_argument("--ssim", action="store_true",
+                    help="also report SSIM of the production frame vs a "
+                         "native-res render (slow: two extra compiles)")
     args = ap.parse_args()
 
     if args.config is None and args.scene is None and args.width is None:
@@ -120,18 +212,21 @@ def main():
         ladder = {}
         frontier = None
         for c in sorted(CONFIGS):
-            scene_name, w, h, di, gi, refl = CONFIGS[c]
-            fps = measure(scene_name, w, h, di, gi, refl,
-                          args.frames, args.reps)
+            scene_name, w, h, di, gi, refl, ups, md = CONFIGS[c]
+            if args.native:
+                ups, md = "off", "auto"
+            fps, cfg = measure(scene_name, w, h, di, gi, refl,
+                               args.frames, args.reps, ups, md)
             ladder[f"config{c}"] = round(fps, 2)
-            frontier = (c, scene_name, w, h, di, gi, refl, fps)
+            frontier = (c, scene_name, w, h, di, gi, refl, ups, cfg, fps)
             if fps < args.target_fps:
                 break
-        c, scene_name, w, h, di, gi, refl, fps = frontier
-        mrays = rung_mrays(w, h, di, gi, refl, fps)
+        c, scene_name, w, h, di, gi, refl, ups, cfg, fps = frontier
+        mrays = rung_mrays(cfg.rt_width, cfg.rt_height, di, gi, refl, fps)
         print(json.dumps({
             "metric": f"fps@{w}x{h} (BASELINE frontier config {c}: "
-                      f"{scene_name} scene, di={di} gi={gi} refl={refl}; "
+                      f"{scene_name} scene, di={di} gi={gi} refl={refl}, "
+                      f"{ups} {cfg.rt_width}x{cfg.rt_height} internal; "
                       f"{mrays:.0f} Mrays/s; ladder "
                       + ",".join(f"{k}={v}" for k, v in ladder.items()) + ")",
             "value": round(fps, 2),
@@ -142,7 +237,7 @@ def main():
         return
 
     config = args.config if args.config is not None else 1
-    c_scene, c_w, c_h, c_di, c_gi, c_refl = CONFIGS[config]
+    c_scene, c_w, c_h, c_di, c_gi, c_refl, c_ups, c_mode = CONFIGS[config]
     args.scene = args.scene if args.scene is not None else c_scene
     args.width = args.width if args.width is not None else c_w
     args.height = args.height if args.height is not None else c_h
@@ -150,17 +245,31 @@ def main():
     args.gi = args.gi if args.gi is not None else c_gi
     args.reflections = (args.reflections if args.reflections is not None
                         else c_refl)
+    ups = args.upscaler if args.upscaler is not None else c_ups
+    mode = args.quality if args.quality is not None else c_mode
+    if args.native:
+        ups, mode = "off", "auto"
 
-    fps = measure(args.scene, args.width, args.height, args.di, args.gi,
-                  args.reflections, args.frames, args.reps)
-    mrays = rung_mrays(args.width, args.height, args.di, args.gi,
+    fps, cfg = measure(args.scene, args.width, args.height, args.di, args.gi,
+                       args.reflections, args.frames, args.reps, ups, mode)
+    mrays = rung_mrays(cfg.rt_width, cfg.rt_height, args.di, args.gi,
                        args.reflections, fps)
-    print(json.dumps({
-        "metric": f"fps@{args.width}x{args.height} (BASELINE config {config}: {args.scene} scene, di={args.di} gi={args.gi} refl={args.reflections}; {mrays:.0f} Mrays/s)",
+    out = {
+        "metric": f"fps@{args.width}x{args.height} (BASELINE config {config}: "
+                  f"{args.scene} scene, di={args.di} gi={args.gi} "
+                  f"refl={args.reflections}, {ups} "
+                  f"{cfg.rt_width}x{cfg.rt_height} internal; "
+                  f"{mrays:.0f} Mrays/s)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / args.target_fps, 3),
-    }))
+    }
+    if args.ssim and ups != "off":
+        out["ssim_vs_native"] = round(measure_ssim(
+            args.scene, args.width, args.height, args.di, args.gi,
+            args.reflections, ups, mode,
+        ), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

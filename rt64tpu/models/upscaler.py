@@ -49,11 +49,27 @@ def quality_auto(display_width: int, display_height: int) -> int:
 
 
 def quality_resolution(quality: int, display_width: int, display_height: int):
-    """getQualityInformation analog: render resolution for a mode."""
+    """getQualityInformation analog: render resolution for a mode.
+
+    TPU divergence (documented): the render resolution snaps to the
+    frame graph's tile grid (width multiple of 64, height multiple of
+    8 — framegraph.RenderConfig.TILE_W/TILE_H) so the swizzled packet
+    layout stays active at internal resolutions. The reference rounds
+    to exact integer pixels (rt64_view.cpp:114-141); snapping moves the
+    scale by at most ~5% and keeps the tracer's 512-ray blocks compact
+    screen tiles.
+    """
     if quality == d.UPSCALER_MODE_AUTO:
         quality = quality_auto(display_width, display_height)
     scale = QUALITY_SCALE[quality]
-    return max(1, int(display_width * scale)), max(1, int(display_height * scale))
+    rw = max(1, int(display_width * scale))
+    rh = max(1, int(display_height * scale))
+    if quality != d.UPSCALER_MODE_NATIVE:
+        rw = max(64, int(round(rw / 64.0)) * 64)
+        rh = max(8, int(round(rh / 8.0)) * 8)
+        rw = min(rw, display_width)
+        rh = min(rh, display_height)
+    return rw, rh
 
 
 def jitter_phase_count(render_width: int, display_width: int) -> int:

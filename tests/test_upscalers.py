@@ -17,9 +17,12 @@ def test_quality_auto_thresholds():
 
 
 def test_quality_resolution_fsr_ultra_quality():
-    # FSR forces UltraQuality to 77% (rt64_fsr.cpp:104-112).
+    # FSR forces UltraQuality to 77% (rt64_fsr.cpp:104-112); the TPU
+    # build snaps to the frame graph's tile grid (w%64, h%8 — see
+    # quality_resolution docstring), so 770x385 -> 768x384.
     w, h = ups.quality_resolution(d.UPSCALER_MODE_ULTRA_QUALITY, 1000, 500)
-    assert (w, h) == (770, 385)
+    assert (w, h) == (768, 384)
+    assert w % 64 == 0 and h % 8 == 0
     w, h = ups.quality_resolution(d.UPSCALER_MODE_NATIVE, 1000, 500)
     assert (w, h) == (1000, 500)
 
