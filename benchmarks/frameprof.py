@@ -106,6 +106,9 @@ def main():
         stats_meta = plane.stat_metadata
         by_op = collections.Counter()
         by_cat = collections.Counter()
+        by_src = collections.Counter()
+        src_n = collections.Counter()
+        src_bytes = collections.Counter()
         cat_n = collections.Counter()
         module_total = 0.0
         for line in plane.lines:
@@ -119,15 +122,23 @@ def main():
                 ms = ev.duration_ps / 1e9
                 name = md.name
                 cat = None
+                src = None
+                nbytes = 0
                 for st in md.stats:
                     sm = stats_meta[st.metadata_id]
                     if sm.name in ("equation", "hlo_category"):
                         cat = st.str_value or None
-                        if sm.name == "hlo_category":
-                            break
+                    elif sm.name == "source":
+                        src = st.str_value or None
+                    elif sm.name == "bytes_accessed":
+                        nbytes = st.uint64_value
                 by_op[name] += ms
                 by_cat[cat or "?"] += ms
                 cat_n[cat or "?"] += 1
+                skey = f"{src or '?':<46} [{cat or '?'}]"
+                by_src[skey] += ms
+                src_n[skey] += 1
+                src_bytes[skey] += nbytes
         if not by_op:
             continue
         print(f"\n=== plane {plane.name} ===")
@@ -138,6 +149,11 @@ def main():
             n = cat_n[cat]
             print(f"  {cat:<30}{ms:>10.2f}  n={n:<6} "
                   f"avg={1000.0 * ms / max(n, 1):.1f}us")
+        print(f"\ntop {args.top} source sites (ms | n | GB over "
+              f"{args.frames} frames):")
+        for skey, ms in by_src.most_common(args.top):
+            gb = src_bytes[skey] / 1e9
+            print(f"  {ms:>9.2f}  n={src_n[skey]:<5} {gb:>7.2f}GB  {skey}")
         print(f"\ntop {args.top} ops:")
         for name, ms in by_op.most_common(args.top):
             print(f"  {ms:>9.2f}  {name[:110]}")

@@ -168,24 +168,24 @@ def light_intensity_simple(sb, position, normal, ignore_normal):
     return factor * diffuse_sum  # (L, N)
 
 
-def compute_light(
-    sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
+def _light_sample_terms(
+    sb, pixel_xy, bn_table, frame_count,
     chosen,  # (N,) selected light index
     ray_dir,  # (3, N)
     position,  # (3, N)
     normal,  # (3, N)
-    specular,  # (3, N)
     ctx: LightingCtx,
     di_samples: int,
-    check_shadows: bool,
-    noise_rand,
-    shadow_k_alpha: int,
-    opaque_fn=None,
-    live=None,  # (N,) bool: rays worth tracing (inactive skip blocks)
-    alpha_compact: int = 0,
-    shade_boost: int = 1,
+    live,  # (N,) bool or None
 ):
-    """ComputeLight (Lights.hlsli:70-113) for one selected light/pixel."""
+    """ComputeLight (Lights.hlsli:70-113) WITHOUT the shadow trace: the
+    cheap VPU half. Returns per-sample lambert/spec-dot terms plus the
+    shadow ray batch (dirs (S, 3, N), t_max (S, N)) so the caller can
+    trace ALL samples — across ALL selection rounds — in ONE kernel
+    call. Splitting the trace out lets compute_lights_random batch
+    every round x sample shadow ray into a single packet-tracer launch
+    (one visit-list build, one alpha compaction, one shade site) where
+    the fused form paid that fixed cost per round."""
     sel = lambda col: _select_light(sb.lights[:, col], chosen)
     lpos = jnp.stack([sel(0), sel(1), sel(2)], 0)
     ldiff = jnp.stack([sel(3), sel(4), sel(5)], 0)
@@ -204,10 +204,12 @@ def compute_light(
     perp_y = vm.cross(perp_x, -light_dir)
 
     max_samples = max(di_samples, 1)
-
-    def sample_body(carry, s):
-        lambert, spec_f, shadow_f, _ = carry
-        bn = bluenoise.get_blue_noise(bn_table, pixel_xy, frame_count + s)
+    lamberts, specdots, dirs_s, tmax_s = [], [], [], []
+    # Sample indices run max_samples..1 (the fold order the fused
+    # implementation used — blue-noise frames must match exactly).
+    for s in range(max_samples, 0, -1):
+        bn = bluenoise.get_blue_noise(bn_table, pixel_xy,
+                                      frame_count + jnp.int32(s))
         scx = bn[..., 0] * 2.0 - 1.0
         scy = bn[..., 1] * 2.0 - 1.0
         sc_len = jnp.sqrt(scx * scx + scy * scy)
@@ -215,7 +217,8 @@ def compute_light(
         scx = scx * scale
         scy = scy * scale
         sample_pos = (
-            lpos + perp_x * (scx * point_radius)[None] + perp_y * (scy * point_radius)[None]
+            lpos + perp_x * (scx * point_radius)[None]
+            + perp_y * (scy * point_radius)[None]
         )
         delta = sample_pos - position
         sample_dist = vm.length(delta)
@@ -226,47 +229,24 @@ def compute_light(
         ndotl = jnp.maximum(vm.dot(normal, sample_dir), 0.0)
         s_lambert = (ndotl + (1.0 - ndotl) * ctx.ignore_normal) * intensity
         spec_dot = jnp.clip(vm.dot(reflected, -ray_dir) * intensity, 0.0, 1.0)
-        if check_shadows:
-            s_tmax = sample_dist - loffset
-            # A shadow ray whose diffuse AND specular terms are both
-            # zero (out of light range, or backfacing with no glint)
-            # multiplies the shadow factor into nothing — give it an
-            # empty interval so whole ray blocks skip traversal in the
-            # packet kernel and the alpha slab cull drops it. In the
-            # castle scene most terrain pixels are beyond one of the
-            # two light groups' radii, so this halves live shadow rays.
-            contributes = (s_lambert > EPSILON) | (spec_dot > EPSILON)
-            if live is not None:
-                contributes = contributes & live
-            s_tmax = jnp.where(contributes, s_tmax, -1.0)
-            s_shadow, s_drop = trace_shadow_factor(
-                sb, tri_rows, trace_scene, position, sample_dir,
-                tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias,
-                s_tmax, noise_rand, shadow_k_alpha,
-                opaque_fn=opaque_fn, alpha_compact=alpha_compact,
-                shade_boost=shade_boost,
-            )
-        else:
-            s_shadow = jnp.ones_like(s_lambert)
-            s_drop = jnp.int32(0)
-        s_spec = specular * jnp.power(spec_dot, ctx.spec_exp)[None]
-        lambert, spec_f, shadow_f, drop = carry
-        return (
-            lambert + s_lambert / max_samples,
-            spec_f + s_spec / max_samples,
-            shadow_f + s_shadow / max_samples,
-            drop + s_drop,
-        ), None
-
-    n = position.shape[1]
-    # Unrolled (see compute_lights_random): straight-line sample rounds
-    # let the shadow traces' DMAs overlap across rounds.
-    carry = (jnp.zeros((n,)), jnp.zeros((3, n)), jnp.zeros((n,)),
-             jnp.int32(0))
-    for s in range(max_samples, 0, -1):
-        carry, _ = sample_body(carry, jnp.int32(s))
-    lambert, spec_f, shadow_f, dropped = carry
-    return (ldiff * lambert[None] + lspec * spec_f) * shadow_f[None], dropped
+        s_tmax = sample_dist - loffset
+        # A shadow ray whose diffuse AND specular terms are both
+        # zero (out of light range, or backfacing with no glint)
+        # multiplies the shadow factor into nothing — give it an
+        # empty interval so whole ray blocks skip traversal in the
+        # packet kernel and the alpha slab cull drops it. In the
+        # castle scene most terrain pixels are beyond one of the
+        # two light groups' radii, so this halves live shadow rays.
+        contributes = (s_lambert > EPSILON) | (spec_dot > EPSILON)
+        if live is not None:
+            contributes = contributes & live
+        s_tmax = jnp.where(contributes, s_tmax, -1.0)
+        lamberts.append(s_lambert)
+        specdots.append(spec_dot)
+        dirs_s.append(sample_dir)
+        tmax_s.append(s_tmax)
+    return (ldiff, lspec, jnp.stack(lamberts), jnp.stack(specdots),
+            jnp.stack(dirs_s), jnp.stack(tmax_s))
 
 
 def compute_lights_random(
@@ -276,7 +256,16 @@ def compute_lights_random(
     noise_rand, shadow_k_alpha: int = 1, opaque_fn=None,
     alpha_compact: int = 0, shade_boost: int = 1,
 ):
-    """ComputeLightsRandom (Lights.hlsli:115-168), fully vectorized."""
+    """ComputeLightsRandom (Lights.hlsli:115-168), fully vectorized.
+
+    Structure: the selection rounds run sequentially (cheap VPU math --
+    selection without replacement), but every round's shadow rays are
+    CONCATENATED and traced in ONE packet-kernel call: one visit-list
+    build, one opaque occlusion launch, one alpha slab-cull+compaction,
+    one compacted shade, one scatter -- where the per-round form paid
+    each of those fixed costs max_light_count x di_samples times
+    (profiled: the 2-light castle frame spent 8 ms across 3 shadow
+    launches; batching merges their XLA pre/post passes too)."""
     L = sb.lights.shape[0]
     n = position.shape[1]
 
@@ -293,8 +282,13 @@ def compute_lights_random(
     sel_count = jnp.minimum(s_count, max_light_count)
     use_probability = sel_count == 1
 
-    def body(carry, s):
-        result, random_range, intens_work, dropped = carry
+    # Phase 1 -- selection rounds (unrolled: a lax.scan here serializes
+    # each round's gather DMAs behind the previous round's compute) +
+    # the cheap lighting terms; shadow rays accumulate into a batch.
+    rounds = []
+    random_range, intens_work = total, intens
+    for s in range(max_light_count):
+        s = jnp.int32(s)
         active = (s < sel_count) & ctx.has_lighting
         r = bluenoise.get_blue_noise(bn_table, pixel_xy, frame_count + s)[..., 0]
         r = r * random_range
@@ -309,23 +303,51 @@ def compute_lights_random(
         inv_prob = jnp.where(
             use_probability, random_range / jnp.maximum(c_int, 1e-12), 1.0
         )
-        contrib, c_drop = compute_light(
-            sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
-            chosen, ray_dir, position, normal, specular, ctx,
-            di_samples, check_shadows, noise_rand, shadow_k_alpha,
-            opaque_fn=opaque_fn, live=active, alpha_compact=alpha_compact,
-            shade_boost=shade_boost,
+        ldiff, lspec, lamb, sdot, sdirs, stmax = _light_sample_terms(
+            sb, pixel_xy, bn_table, frame_count, chosen, ray_dir,
+            position, normal, ctx, di_samples,
+            live=active,
         )
-        result = result + jnp.where(active[None], contrib * inv_prob[None], 0.0)
+        rounds.append((active, inv_prob, ldiff, lspec, lamb, sdot,
+                       sdirs, stmax))
         random_range = random_range - jnp.where(active, c_int, 0.0)
         intens_work = jnp.where(onehot & active[None], 0.0, intens_work)
-        return (result, random_range, intens_work, dropped + c_drop), None
 
-    # Unrolled selection rounds: a lax.scan here serializes each round's
-    # shadow-ray DMAs behind the previous round's compute (profiled as a
-    # top frame cost); straight-line rounds overlap.
-    carry = (jnp.zeros((3, n)), total, intens, jnp.int32(0))
-    for s in range(max_light_count):
-        carry, _ = body(carry, jnp.int32(s))
-    result, dropped = carry[0], carry[3]
+    # Phase 2 -- ONE batched shadow trace over all rounds x samples.
+    max_samples = max(di_samples, 1)
+    reps = max_light_count * max_samples
+    dropped = jnp.int32(0)
+    if check_shadows:
+        # sdirs is (S, 3, n): stack rounds then flatten to (3, R*S*n).
+        batch_dirs = jnp.concatenate(
+            [rd[6].transpose(1, 0, 2).reshape(3, -1) for rd in rounds],
+            axis=1,
+        )
+        batch_tmax = jnp.concatenate([rd[7].reshape(-1) for rd in rounds])
+        tile_pos = jnp.tile(position, (1, reps))
+        tmin = jnp.tile(tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias, reps)
+        factors, dropped = trace_shadow_factor(
+            sb, tri_rows, trace_scene, tile_pos, batch_dirs, tmin,
+            batch_tmax, jnp.tile(noise_rand, reps), shadow_k_alpha,
+            opaque_fn=opaque_fn, alpha_compact=alpha_compact * reps,
+            shade_boost=shade_boost,
+        )
+        factors = factors.reshape(max_light_count, max_samples, n)
+    else:
+        factors = jnp.ones((max_light_count, max_samples, n))
+
+    # Phase 3 -- fold rounds exactly like the fused form did.
+    result = jnp.zeros((3, n))
+    for i, (active, inv_prob, ldiff, lspec, lamb, sdot, _, _) in enumerate(
+        rounds
+    ):
+        lambert = lamb.sum(0) / max_samples
+        shadow_f = factors[i].sum(0) / max_samples
+        spec_f = (
+            specular[:, None, :] * jnp.power(sdot, ctx.spec_exp[None])[None]
+        ).sum(1) / max_samples
+        contrib = (ldiff * lambert[None] + lspec * spec_f) * shadow_f[None]
+        result = result + jnp.where(
+            active[None], contrib * inv_prob[None], 0.0
+        )
     return jnp.where(ctx.has_lighting[None], result, 0.0), dropped
