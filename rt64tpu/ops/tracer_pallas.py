@@ -48,6 +48,13 @@ def _pad128(a):
 CLUSTER_SIZE = 128  # triangles per cluster (one lane tile)
 BLOCK_RAYS = 512  # rays per kernel program (4 sublane rows of 128)
 GROUP_CLUSTERS = 8  # clusters per mid-level AABB group (two-level culling)
+SUPER_BLOCKS = 4  # ray blocks walked per kernel program (VMEM kernels)
+VISIT_UNROLL = 2  # clusters per while-loop iteration (VMEM kernels)
+# Clusters live wholly in VMEM when the table fits comfortably (scene
+# up to ~87k triangles); beyond that the kernel falls back to the
+# double-buffered HBM DMA walk. VMEM is ~16 MB/core; 4 MB leaves room
+# for rays/outputs/scratch.
+VMEM_CLUSTER_BYTES = 4 * 1024 * 1024
 
 # Cluster data rows (SoA within a cluster): shape (n_clusters, C_ROWS, CS).
 C_V0X, C_V0Y, C_V0Z = 0, 1, 2
@@ -422,6 +429,368 @@ def _kernel(ivals_hbm, entry_hbm, rays_ref, cluster_hbm, t_ref,
     bias_ref[:] = b_best.reshape(shape3)
 
 
+def _mt_cluster(tri, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
+    """512x128 Moller-Trumbore of one cluster tile against a ray block.
+    Returns (hit mask, t, u, v) — shared by both kernel families."""
+    v0x = tri[C_V0X][None, :]
+    v0y = tri[C_V0Y][None, :]
+    v0z = tri[C_V0Z][None, :]
+    e1x = tri[C_E1X][None, :]
+    e1y = tri[C_E1Y][None, :]
+    e1z = tri[C_E1Z][None, :]
+    e2x = tri[C_E2X][None, :]
+    e2y = tri[C_E2Y][None, :]
+    e2z = tri[C_E2Z][None, :]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    if cull_backface:
+        # det>eps always accepted; backfaces only when no_cull
+        # (avoids a bool-select, which Mosaic can't lower).
+        keep = (det > 1e-9) | (
+            (tri[C_NO_CULL][None, :] > 0.0) & (det < -1e-9)
+        )
+    else:
+        keep = jnp.abs(det) > 1e-9
+    inv_det = 1.0 / jnp.where(keep, det, 1.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= tmin) & (t <= tmax) & (tri[C_ACTIVE][None, :] > 0.0)
+    )
+    return hit, t, u, v
+
+
+def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
+                 tri_ref, u_ref, v_ref, bias_ref, ivals_ref, entry_ref,
+                 vsems, *, cull_backface: bool, nc: int, super_blocks: int):
+    """VMEM-resident variant of _kernel: the whole cluster table rides
+    one HBM->VMEM copy at launch (scenes up to VMEM_CLUSTER_BYTES), so
+    the visit walk reads clusters with zero DMA latency. Each program
+    walks `super_blocks` ray blocks (amortizing the visit-row SMEM DMA
+    + program setup, measured ~6 us/block standalone), and the hit
+    carry is kept ELEMENTWISE (BLOCK_RAYS x CLUSTER_SIZE planes folded
+    with min/select) — the original per-visit carry did 5 cross-lane
+    reductions per cluster, which profiled at ~3.3 us/visit against
+    ~0.6 us of Moller-Trumbore VPU work. Two visits per loop iteration
+    amortize the packet early-out's unavoidable reduction pair.
+
+    Tie-break parity: per lane, the EARLIER front-to-back visit wins
+    equal biased keys (strict <); across lanes the max global triangle
+    id among tied lanes wins — the same rule as the XLA extractor
+    (tracer._extract_k_smallest)."""
+    p = pl.program_id(0)
+    row_i = pltpu.make_async_copy(
+        ivals_hbm.at[p], ivals_ref, vsems.at[0],
+    )
+    row_e = pltpu.make_async_copy(
+        entry_hbm.at[p], entry_ref, vsems.at[1],
+    )
+    row_i.start()
+    row_e.start()
+    row_i.wait()
+    row_e.wait()
+
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (BLOCK_RAYS, CLUSTER_SIZE), 1
+    )
+    for s in range(super_blocks):
+        count = ivals_ref[s, 0]
+        sl = slice(s * BLOCK_RAYS, (s + 1) * BLOCK_RAYS)
+        ox = rays_ref[0, sl].reshape(BLOCK_RAYS, 1)
+        oy = rays_ref[1, sl].reshape(BLOCK_RAYS, 1)
+        oz = rays_ref[2, sl].reshape(BLOCK_RAYS, 1)
+        dx = rays_ref[3, sl].reshape(BLOCK_RAYS, 1)
+        dy = rays_ref[4, sl].reshape(BLOCK_RAYS, 1)
+        dz = rays_ref[5, sl].reshape(BLOCK_RAYS, 1)
+        tmin = rays_ref[6, sl].reshape(BLOCK_RAYS, 1)
+        tmax = rays_ref[7, sl].reshape(BLOCK_RAYS, 1)
+
+        def cond(carry):
+            i, worst = carry[0], carry[1]
+            return (i < count) & (entry_ref[s, jnp.minimum(i, nc - 1)] <= worst)
+
+        def body(carry):
+            i, worst, key_best, cid_best, u_best, v_best, b_best = carry
+            # Visits beyond `count` read pad-id slots -> the all-zero pad
+            # cluster (ACTIVE 0) -> no hits; processing pairs only
+            # coarsens the early-out check, never its correctness.
+            for k in range(VISIT_UNROLL):
+                cid = ivals_ref[s, 1 + i + k]
+                tri = cluster_ref[cid]  # (C_ROWS, CS) — VMEM, no DMA
+                hit, t, u, v = _mt_cluster(
+                    tri, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface
+                )
+                bias = jnp.broadcast_to(tri[C_BIAS][None, :], key_best.shape)
+                key = jnp.where(hit, t - bias, _BIG)
+                better = key < key_best
+                key_best = jnp.where(better, key, key_best)
+                cid_best = jnp.where(better, cid, cid_best)
+                u_best = jnp.where(better, u, u_best)
+                v_best = jnp.where(better, v, v_best)
+                b_best = jnp.where(better, bias, b_best)
+            worst = jnp.max(key_best.min(axis=1))
+            return (i + VISIT_UNROLL, worst, key_best, cid_best, u_best,
+                    v_best, b_best)
+
+        shape3 = (1, BLOCK_RAYS // 128, 128)
+
+        # Visit-less blocks (sky, dead shadow rays) skip the carry init
+        # and final extraction entirely — ~half the shadow-population
+        # blocks are dead, and the all-miss write is just 5 stores.
+        @pl.when(count == 0)
+        def _():
+            t_ref[s] = (tmax + 1.0).reshape(shape3)[0]
+            tri_ref[s] = jnp.full((BLOCK_RAYS, 1), -1,
+                                  jnp.int32).reshape(shape3)[0]
+            zero1 = jnp.zeros((BLOCK_RAYS, 1), jnp.float32)
+            u_ref[s] = zero1.reshape(shape3)[0]
+            v_ref[s] = zero1.reshape(shape3)[0]
+            bias_ref[s] = zero1.reshape(shape3)[0]
+
+        @pl.when(count > 0)
+        def _():
+            # key init tmax + 1 (t == t_max still wins under strict <);
+            # rays that can hit nothing past t_max stop gating the
+            # early-out.
+            key0 = jnp.broadcast_to(tmax + 1.0, (BLOCK_RAYS, CLUSTER_SIZE))
+            zero = jnp.zeros((BLOCK_RAYS, CLUSTER_SIZE), jnp.float32)
+            init = (
+                jnp.int32(0),
+                jnp.max(tmax + 1.0),
+                key0,
+                jnp.full((BLOCK_RAYS, CLUSTER_SIZE), nc, jnp.int32),
+                zero,
+                zero,
+                zero,
+            )
+            _, _, key_best, cid_best, u_best, v_best, b_best = (
+                jax.lax.while_loop(cond, body, init)
+            )
+
+            # ONE extraction per block (the per-visit version of this
+            # was the kernel's cost): winning lane = max global id among
+            # lanes tied at the per-ray min key.
+            best = key_best.min(axis=1, keepdims=True)
+            found = best <= tmax
+            gid = cid_best * CLUSTER_SIZE + col
+            idx = jnp.where(key_best <= best, gid, -1).max(
+                axis=1, keepdims=True
+            )
+            idx = jnp.where(found, idx, -1)
+            at = gid == idx  # the winning lane (gid unique per lane)
+            pick = lambda a: jnp.sum(jnp.where(at, a, 0.0), axis=1,
+                                     keepdims=True)
+            t_ref[s] = best.reshape(shape3)[0]
+            tri_ref[s] = idx.reshape(shape3)[0]
+            u_ref[s] = pick(u_best).reshape(shape3)[0]
+            v_ref[s] = pick(v_best).reshape(shape3)[0]
+            bias_ref[s] = pick(b_best).reshape(shape3)[0]
+
+
+def _prep_super(rays8, visits, counts, entries, super_blocks: int):
+    """Pad to a super-block multiple and lay the visit tables out as
+    (programs, super_blocks, row): count + visit ids ride one DMA; the
+    id row is padded with the pad-cluster id `nc` so the unrolled walk
+    can read past `count` harmlessly."""
+    n = rays8.shape[1]
+    n_blocks = n // BLOCK_RAYS
+    nc = visits.shape[1]
+    pad_b = (-n_blocks) % super_blocks
+    ivals = jnp.concatenate(
+        [counts[:, None], visits,
+         jnp.full((n_blocks, VISIT_UNROLL), nc, jnp.int32)], axis=1
+    )
+    pad_cols = (-ivals.shape[1]) % 128
+    if pad_cols:
+        ivals = jnp.concatenate(
+            [ivals, jnp.full((n_blocks, pad_cols), nc, jnp.int32)], axis=1
+        )
+    entries_p = _pad128(entries)
+    if pad_b:
+        # Padded blocks: count 0, pad-id visits.
+        pad_row = jnp.full((pad_b, ivals.shape[1]), nc, jnp.int32)
+        pad_row = pad_row.at[:, 0].set(0)
+        ivals = jnp.concatenate([ivals, pad_row], 0)
+        entries_p = jnp.concatenate(
+            [entries_p, jnp.full((pad_b, entries_p.shape[1]), _BIG)], 0
+        )
+        rays8 = jnp.concatenate(
+            [rays8, jnp.zeros((8, pad_b * BLOCK_RAYS), rays8.dtype)], 1
+        )
+    nbp = n_blocks + pad_b
+    ivals = ivals.reshape(nbp // super_blocks, super_blocks, -1)
+    entries_p = entries_p.reshape(nbp // super_blocks, super_blocks, -1)
+    return rays8, ivals, entries_p, n_blocks, nbp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cull_backface", "interpret", "super_blocks")
+)
+def _trace_opaque_vmem_impl(rays8, cluster_tris, visits, counts, entries,
+                            cull_backface: bool, interpret: bool,
+                            super_blocks: int = SUPER_BLOCKS):
+    nv = visits.shape[1]
+    rays8, ivals, entries_p, n_blocks, nbp = _prep_super(
+        rays8, visits, counts, entries, super_blocks
+    )
+    kern = functools.partial(_kernel_vmem, cull_backface=cull_backface,
+                             nc=nv, super_blocks=super_blocks)
+    t, tri, u, v, bias = pl.pallas_call(
+        kern,
+        grid=(nbp // super_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ivals
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # entries
+            pl.BlockSpec((8, super_blocks * BLOCK_RAYS), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            # The whole cluster table in VMEM; the index map is constant
+            # so Pallas copies it once, not per program.
+            pl.BlockSpec(cluster_tris.shape, lambda p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((super_blocks, BLOCK_RAYS // 128, 128),
+                         lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((super_blocks, ivals.shape[2]), jnp.int32),
+            pltpu.SMEM((super_blocks, entries_p.shape[2]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nbp, BLOCK_RAYS // 128, 128), dt)
+            for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
+                       jnp.float32)
+        ),
+        interpret=interpret,
+    )(ivals, entries_p, rays8, cluster_tris)
+    m = n_blocks * BLOCK_RAYS
+    out = lambda a: a.reshape(nbp * BLOCK_RAYS)[:m]
+    return out(t), out(tri), out(u), out(v), out(bias)
+
+
+def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
+                        out_ref, ivals_ref, entry_ref, vsems, *, nc: int,
+                        super_blocks: int):
+    """VMEM-resident + multi-block + elementwise-carry variant of
+    _shadow_kernel (see _kernel_vmem for the rationale)."""
+    p = pl.program_id(0)
+    row_i = pltpu.make_async_copy(
+        ivals_hbm.at[p], ivals_ref, vsems.at[0],
+    )
+    row_e = pltpu.make_async_copy(
+        entry_hbm.at[p], entry_ref, vsems.at[1],
+    )
+    row_i.start()
+    row_e.start()
+    row_i.wait()
+    row_e.wait()
+
+    for s in range(super_blocks):
+        count = ivals_ref[s, 0]
+        sl = slice(s * BLOCK_RAYS, (s + 1) * BLOCK_RAYS)
+        ox = rays_ref[0, sl].reshape(BLOCK_RAYS, 1)
+        oy = rays_ref[1, sl].reshape(BLOCK_RAYS, 1)
+        oz = rays_ref[2, sl].reshape(BLOCK_RAYS, 1)
+        dx = rays_ref[3, sl].reshape(BLOCK_RAYS, 1)
+        dy = rays_ref[4, sl].reshape(BLOCK_RAYS, 1)
+        dz = rays_ref[5, sl].reshape(BLOCK_RAYS, 1)
+        tmin = rays_ref[6, sl].reshape(BLOCK_RAYS, 1)
+        tmax = rays_ref[7, sl].reshape(BLOCK_RAYS, 1)
+
+        def cond(carry):
+            i, blocked_n, worst, _ = carry
+            return (
+                (i < count)
+                & (blocked_n < float(BLOCK_RAYS))
+                & (entry_ref[s, jnp.minimum(i, nc - 1)] <= worst)
+            )
+
+        def body(carry):
+            i, blocked_n, worst, bl = carry
+            for k in range(VISIT_UNROLL):
+                cid = ivals_ref[s, 1 + i + k]
+                tri = cluster_ref[cid]
+                hit, _, _, _ = _mt_cluster(
+                    tri, ox, oy, oz, dx, dy, dz, tmin, tmax, False
+                )
+                bl = jnp.maximum(bl, jnp.where(hit, 1.0, 0.0))
+            row_blocked = bl.max(axis=1, keepdims=True)
+            blocked_n = row_blocked.sum()
+            # Farthest t_max among still-unblocked rays: clusters
+            # entirely beyond it can't block anything that matters.
+            worst = jnp.max(tmax * (1.0 - row_blocked))
+            return (i + VISIT_UNROLL, blocked_n, worst, bl)
+
+        @pl.when(count == 0)
+        def _():
+            out_ref[s] = jnp.zeros(
+                (1, BLOCK_RAYS // 128, 128), jnp.int32
+            )[0]
+
+        @pl.when(count > 0)
+        def _():
+            init = (jnp.int32(0), jnp.float32(0), jnp.max(tmax),
+                    jnp.zeros((BLOCK_RAYS, CLUSTER_SIZE), jnp.float32))
+            _, _, _, bl = jax.lax.while_loop(cond, body, init)
+            out_ref[s] = (
+                bl.max(axis=1, keepdims=True).reshape(
+                    1, BLOCK_RAYS // 128, 128
+                )
+                > 0.5
+            ).astype(jnp.int32)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "super_blocks"))
+def _shadow_vmem_impl(rays8, cluster_tris, visits, counts, entries,
+                      interpret: bool, super_blocks: int = SUPER_BLOCKS):
+    nv = visits.shape[1]
+    rays8, ivals, entries_p, n_blocks, nbp = _prep_super(
+        rays8, visits, counts, entries, super_blocks
+    )
+    kern = functools.partial(_shadow_kernel_vmem, nc=nv,
+                             super_blocks=super_blocks)
+    blocked = pl.pallas_call(
+        kern,
+        grid=(nbp // super_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((8, super_blocks * BLOCK_RAYS), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cluster_tris.shape, lambda p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((super_blocks, BLOCK_RAYS // 128, 128),
+                               lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((super_blocks, ivals.shape[2]), jnp.int32),
+            pltpu.SMEM((super_blocks, entries_p.shape[2]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((nbp, BLOCK_RAYS // 128, 128),
+                                       jnp.int32),
+        interpret=interpret,
+    )(ivals, entries_p, rays8, cluster_tris)
+    return blocked.reshape(nbp * BLOCK_RAYS)[: n_blocks * BLOCK_RAYS]
+
+
+def _clusters_fit_vmem(cluster_tris) -> bool:
+    return cluster_tris.size * 4 <= VMEM_CLUSTER_BYTES
+
+
 @functools.partial(jax.jit, static_argnames=("cull_backface", "interpret"))
 def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
                               cull_backface: bool, interpret: bool):
@@ -520,7 +889,11 @@ def make_opaque_fn(interpret: bool = False):
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_k[None]], axis=0
         )
-        t, tri, u, v, bias = _trace_opaque_pallas_impl(
+        impl = (
+            _trace_opaque_vmem_impl if _clusters_fit_vmem(cluster_tris)
+            else _trace_opaque_pallas_impl
+        )
+        t, tri, u, v, bias = impl(
             rays8, cluster_tris, visits, counts, entries, cull_backface,
             interpret,
         )
@@ -709,7 +1082,11 @@ def make_shadow_opaque_fn(interpret: bool = False):
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
         )
-        blocked = _shadow_pallas_impl(
+        shadow_impl = (
+            _shadow_vmem_impl if _clusters_fit_vmem(cluster_tris)
+            else _shadow_pallas_impl
+        )
+        blocked = shadow_impl(
             rays8, cluster_tris, visits, counts, entries, interpret
         )[:n] > 0
         t = jnp.where(blocked, 0.0, _BIG)
