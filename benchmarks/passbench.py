@@ -129,14 +129,14 @@ def main():
     bench("shade_opaque_slot", shade_step)
 
     def primary_pass_step(c):
-        g2 = fg.primary_pass(
+        g2, _, _ = fg.primary_pass(
             sb, gp, cfg, origins, dirs, tweak(c), t_max,
             jnp.zeros((3, n)), tri_rows, trace_scene, pix, bn, noise_rand)
         return c + g2.diffuse_rgb.sum() * 0 + 1
 
     bench("primary_pass_fused", primary_pass_step)
 
-    g = jax.block_until_ready(jax.jit(
+    g, _, _ = jax.block_until_ready(jax.jit(
         lambda: fg.primary_pass(
             sb, gp, cfg, origins, dirs, t_min, t_max,
             jnp.zeros((3, n)), tri_rows, trace_scene, pix, bn, noise_rand))())
@@ -156,9 +156,16 @@ def main():
     bench("shadow_trace_1light", shadow_step)
 
     def direct_step(c):
-        acc, _ = fg.direct_pass(
-            sb, tri_rows, trace_scene, cfg, gp, g, hist, pix, bn,
+        ctx = lighting.ctx_from_rows(g.row, g.instance >= 0)
+        plan = lighting.plan_lights(
+            sb, pix, bn, gp.frame_count, g.view_dir, g.position,
+            g.normal, g.specular, ctx, cfg.max_lights, cfg.di_samples,
             noise_rand + c * 0)
+        (f,), _ = lighting.trace_plans(
+            [plan], sb, tri_rows, trace_scene, cfg.k_shadow,
+            opaque_fn=shadow_fn)
+        acc = fg.direct_pass(cfg, gp, g, hist, ctx,
+                             lighting.finish_lights(plan, f))
         return c + acc[0].sum() * 0 + 1
 
     bench("direct_pass", direct_step)

@@ -86,7 +86,17 @@ def trace_shadow_factor(
             cull_backface=False, opaque_fn=opaque_fn,
         )
         blocked = tri_op >= 0
-        cap = max(512, (k_alpha * n) // 8) * max(shade_boost, 1)
+        # Blocked rays contribute nothing; the opaque-clamped alpha cull
+        # (tracer.trace_alpha_to_compact) culls them outright, so the
+        # live candidate set is small (measured ~2% on castle shadows).
+        # Base 1/32 occupancy; the boost ladder grows QUADRATICALLY
+        # here (clamped to the exact k*n bound), so the view's
+        # re-specialization loop reaches full coverage in a few frames
+        # even for pathological all-alpha shadow populations without
+        # inflating the steady-state sweep width (the cap IS the sweep
+        # cost; the merged tl+DI launch made n large).
+        b = max(shade_boost, 1)
+        cap = min(k_alpha * n, max(512, (k_alpha * n) // 32) * b * b)
         ac = tracer.trace_alpha_to_compact(
             origins, dirs, t_min, t_max, trace_scene, k_alpha,
             False, cap, noise_rand, t_opaque_biased=t_opb,
@@ -249,23 +259,32 @@ def _light_sample_terms(
             jnp.stack(dirs_s), jnp.stack(tmax_s))
 
 
-def compute_lights_random(
-    sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
-    ray_dir, position, normal, specular, ctx: LightingCtx,
-    max_light_count: int, di_samples: int, check_shadows: bool,
-    noise_rand, shadow_k_alpha: int = 1, opaque_fn=None,
-    alpha_compact: int = 0, shade_boost: int = 1,
-):
-    """ComputeLightsRandom (Lights.hlsli:115-168), fully vectorized.
+class LightPlan(NamedTuple):
+    """Phase-1 output of the light loop (see plan_lights): the cheap
+    selection/sampling terms plus this query's shadow-ray batch, so the
+    CALLER can concatenate several queries' rays (DI + the transparent
+    light + refraction's light...) into ONE packet-kernel launch."""
 
-    Structure: the selection rounds run sequentially (cheap VPU math --
-    selection without replacement), but every round's shadow rays are
-    CONCATENATED and traced in ONE packet-kernel call: one visit-list
-    build, one opaque occlusion launch, one alpha slab-cull+compaction,
-    one compacted shade, one scatter -- where the per-round form paid
-    each of those fixed costs max_light_count x di_samples times
-    (profiled: the 2-light castle frame spent 8 ms across 3 shadow
-    launches; batching merges their XLA pre/post passes too)."""
+    rounds: tuple  # per-round (active, inv_prob, ldiff, lspec, lamb, sdot)
+    origins: jax.Array  # (3, R*S*n) tiled ray origins
+    dirs: jax.Array  # (3, R*S*n)
+    t_min: jax.Array  # (R*S*n,)
+    t_max: jax.Array  # (R*S*n,)
+    noise: jax.Array  # (R*S*n,)
+    specular: jax.Array  # (3, n)
+    ctx: LightingCtx
+    n: int
+    max_samples: int
+    max_light_count: int
+
+
+def plan_lights(
+    sb, pixel_xy, bn_table, frame_count, ray_dir, position, normal,
+    specular, ctx: LightingCtx, max_light_count: int, di_samples: int,
+    noise_rand,
+):
+    """Selection rounds + per-sample terms + the shadow-ray batch
+    (ComputeLightsRandom phase 1, Lights.hlsli:115-168). No tracing."""
     L = sb.lights.shape[0]
     n = position.shape[1]
 
@@ -282,10 +301,8 @@ def compute_lights_random(
     sel_count = jnp.minimum(s_count, max_light_count)
     use_probability = sel_count == 1
 
-    # Phase 1 -- selection rounds (unrolled: a lax.scan here serializes
-    # each round's gather DMAs behind the previous round's compute) +
-    # the cheap lighting terms; shadow rays accumulate into a batch.
     rounds = []
+    dirs_all, tmax_all = [], []
     random_range, intens_work = total, intens
     for s in range(max_light_count):
         s = jnp.int32(s)
@@ -308,46 +325,111 @@ def compute_lights_random(
             position, normal, ctx, di_samples,
             live=active,
         )
-        rounds.append((active, inv_prob, ldiff, lspec, lamb, sdot,
-                       sdirs, stmax))
+        rounds.append((active, inv_prob, ldiff, lspec, lamb, sdot))
+        dirs_all.append(sdirs.transpose(1, 0, 2).reshape(3, -1))
+        tmax_all.append(stmax.reshape(-1))
         random_range = random_range - jnp.where(active, c_int, 0.0)
         intens_work = jnp.where(onehot & active[None], 0.0, intens_work)
 
-    # Phase 2 -- ONE batched shadow trace over all rounds x samples.
     max_samples = max(di_samples, 1)
     reps = max_light_count * max_samples
-    dropped = jnp.int32(0)
-    if check_shadows:
-        # sdirs is (S, 3, n): stack rounds then flatten to (3, R*S*n).
-        batch_dirs = jnp.concatenate(
-            [rd[6].transpose(1, 0, 2).reshape(3, -1) for rd in rounds],
-            axis=1,
-        )
-        batch_tmax = jnp.concatenate([rd[7].reshape(-1) for rd in rounds])
-        tile_pos = jnp.tile(position, (1, reps))
-        tmin = jnp.tile(tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias, reps)
-        factors, dropped = trace_shadow_factor(
-            sb, tri_rows, trace_scene, tile_pos, batch_dirs, tmin,
-            batch_tmax, jnp.tile(noise_rand, reps), shadow_k_alpha,
-            opaque_fn=opaque_fn, alpha_compact=alpha_compact * reps,
-            shade_boost=shade_boost,
-        )
-        factors = factors.reshape(max_light_count, max_samples, n)
-    else:
-        factors = jnp.ones((max_light_count, max_samples, n))
+    return LightPlan(
+        rounds=tuple(rounds),
+        origins=jnp.tile(position, (1, reps)),
+        dirs=jnp.concatenate(dirs_all, axis=1),
+        t_min=jnp.tile(tracer.RAY_MIN_DISTANCE + ctx.shadow_ray_bias, reps),
+        t_max=jnp.concatenate(tmax_all),
+        noise=jnp.tile(noise_rand, reps),
+        specular=specular,
+        ctx=ctx,
+        n=n,
+        max_samples=max_samples,
+        max_light_count=max_light_count,
+    )
 
-    # Phase 3 -- fold rounds exactly like the fused form did.
+
+def finish_lights(plan: LightPlan, factors):
+    """Fold the traced shadow factors ((R*S*n,) flat, 1.0 when shadows
+    are off) into the final light contribution (phase 3)."""
+    n = plan.n
+    factors = factors.reshape(plan.max_light_count, plan.max_samples, n)
     result = jnp.zeros((3, n))
-    for i, (active, inv_prob, ldiff, lspec, lamb, sdot, _, _) in enumerate(
-        rounds
+    for i, (active, inv_prob, ldiff, lspec, lamb, sdot) in enumerate(
+        plan.rounds
     ):
-        lambert = lamb.sum(0) / max_samples
-        shadow_f = factors[i].sum(0) / max_samples
+        lambert = lamb.sum(0) / plan.max_samples
+        shadow_f = factors[i].sum(0) / plan.max_samples
         spec_f = (
-            specular[:, None, :] * jnp.power(sdot, ctx.spec_exp[None])[None]
-        ).sum(1) / max_samples
+            plan.specular[:, None, :]
+            * jnp.power(sdot, plan.ctx.spec_exp[None])[None]
+        ).sum(1) / plan.max_samples
         contrib = (ldiff * lambert[None] + lspec * spec_f) * shadow_f[None]
         result = result + jnp.where(
             active[None], contrib * inv_prob[None], 0.0
         )
-    return jnp.where(ctx.has_lighting[None], result, 0.0), dropped
+    return jnp.where(plan.ctx.has_lighting[None], result, 0.0)
+
+
+def trace_plans(plans, sb, tri_rows, trace_scene, shadow_k_alpha,
+                opaque_fn=None, alpha_compact: int = 0,
+                shade_boost: int = 1):
+    """ONE batched shadow trace over several LightPlans' rays: one
+    visit-list build, one occlusion launch, one alpha cull+compaction,
+    one compacted shade — the fixed costs the per-query form paid per
+    call site (the DI rounds, the transparent light, refraction's
+    light). Returns per-plan factor arrays, plus the alpha-drop count.
+    """
+    widths = [p.dirs.shape[1] for p in plans]
+    origins = jnp.concatenate([p.origins for p in plans], axis=1)
+    dirs = jnp.concatenate([p.dirs for p in plans], axis=1)
+    t_min = jnp.concatenate([p.t_min for p in plans])
+    t_max = jnp.concatenate([p.t_max for p in plans])
+    noise = jnp.concatenate([p.noise for p in plans])
+    factors, dropped = trace_shadow_factor(
+        sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, noise,
+        shadow_k_alpha, opaque_fn=opaque_fn, alpha_compact=alpha_compact,
+        shade_boost=shade_boost,
+    )
+    outs = []
+    off = 0
+    for w in widths:
+        outs.append(factors[off : off + w])
+        off += w
+    return outs, dropped
+
+
+def compute_lights_random(
+    sb, tri_rows, trace_scene, pixel_xy, bn_table, frame_count,
+    ray_dir, position, normal, specular, ctx: LightingCtx,
+    max_light_count: int, di_samples: int, check_shadows: bool,
+    noise_rand, shadow_k_alpha: int = 1, opaque_fn=None,
+    alpha_compact: int = 0, shade_boost: int = 1,
+):
+    """ComputeLightsRandom (Lights.hlsli:115-168), fully vectorized.
+
+    Structure: the selection rounds run sequentially (cheap VPU math --
+    selection without replacement), but every round's shadow rays are
+    CONCATENATED and traced in ONE packet-kernel call: one visit-list
+    build, one opaque occlusion launch, one alpha slab-cull+compaction,
+    one compacted shade, one scatter -- where the per-round form paid
+    each of those fixed costs max_light_count x di_samples times
+    (profiled: the 2-light castle frame spent 8 ms across 3 shadow
+    launches; batching merges their XLA pre/post passes too). Callers
+    that have SEVERAL light queries in flight batch further with
+    plan_lights / trace_plans / finish_lights."""
+    plan = plan_lights(
+        sb, pixel_xy, bn_table, frame_count, ray_dir, position, normal,
+        specular, ctx, max_light_count, di_samples, noise_rand,
+    )
+    dropped = jnp.int32(0)
+    if check_shadows:
+        (factors,), dropped = trace_plans(
+            [plan], sb, tri_rows, trace_scene, shadow_k_alpha,
+            opaque_fn=opaque_fn,
+            alpha_compact=alpha_compact * max_light_count
+            * plan.max_samples,
+            shade_boost=shade_boost,
+        )
+    else:
+        factors = jnp.ones((plan.dirs.shape[1],))
+    return finish_lights(plan, factors), dropped

@@ -95,6 +95,43 @@ def compact_alpha(valid, alpha, capacity: int):
     return jnp.where(keep, idx, -1)
 
 
+def sort_alpha_spatial(alpha_idx, v0, v1, v2):
+    """Reorder the compacted alpha list by Morton code of the triangle
+    centroid (world space, in-jit).
+
+    The alpha cull boxes (_alpha_chunk_aabbs) chunk the compacted list
+    in order; upload order groups triangles by INSTANCE, so e.g. the
+    castle's foliage billboards — placed randomly across the map —
+    produce chunk AABBs spanning the whole scene and a useless cull
+    (51% of primary rays were 'candidates'). Morton-sorting the list by
+    centroid keeps each chunk spatially tight, the same trick the
+    opaque side gets from mesh-upload Morton ordering
+    (ops/geometry.morton_order). A ~256-element argsort is noise.
+
+    -1 pads sort to the end (key 0xFFFFFFFF)."""
+    live = alpha_idx >= 0
+    safe = jnp.maximum(alpha_idx, 0)
+    c = (v0[:, safe] + v1[:, safe] + v2[:, safe]) * (1.0 / 3.0)  # (3, A)
+    big = jnp.float32(_BIG)
+    lo = jnp.where(live[None], c, big).min(axis=1)
+    hi = jnp.where(live[None], c, -big).max(axis=1)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(
+        (c - lo[:, None]) / ext[:, None] * 1023.0, 0.0, 1023.0
+    ).astype(jnp.uint32)
+
+    def expand(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    code = (expand(q[0]) << 2) | (expand(q[1]) << 1) | expand(q[2])
+    key = jnp.where(live, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.take(alpha_idx, jnp.argsort(key))
+
+
 class Hits(NamedTuple):
     """Trace output: closest opaque hit + K nearest alpha-class hits."""
 
@@ -419,8 +456,29 @@ def trace_alpha_to_compact(
 
     n = origins.shape[1]
     k = k_alpha
-    lo_c, hi_c = _alpha_chunk_aabbs(scene)
-    hit_c = _slab_any(origins, dirs, t_min, t_max, lo_c, hi_c)
+    # Per-TRIANGLE cull boxes when the alpha list is small: alpha
+    # geometry is typically crossed flat billboards, whose per-instance
+    # chunk AABB is a fat cube — measured 29% of castle primary rays
+    # 'candidates' vs 5.2% against the flat per-triangle boxes. The
+    # (N x A) slab test at A<=512 costs ~0.3 ms, far less than the
+    # sweep width it removes; larger lists chunk by 4 to bound it.
+    a_cap = scene.alpha_idx.shape[0]
+    lo_c, hi_c = _alpha_chunk_aabbs(scene, ch=1 if a_cap <= 512 else 4)
+    cull_tmax = t_max
+    if t_opaque_biased is not None:
+        # Only alpha hits IN FRONT of the opaque hit survive the
+        # behind-mask below (key < t_opb, i.e. true t < t_opb + bias),
+        # so the cull segment ends at the opaque hit: foliage behind
+        # the terrain you're looking at — and the entire alpha list for
+        # opaque-blocked shadow rays (t_opb == 0) — stops producing
+        # candidates. Measured on the castle 480p frame this cut
+        # primary alpha candidates 51% -> a few percent (the 2-chunk
+        # AABBs alone spanned half the screen).
+        alpha_bias_max = jnp.max(
+            jnp.where(scene.alpha & scene.valid, scene.bias, 0.0)
+        )
+        cull_tmax = jnp.minimum(t_max, t_opaque_biased + alpha_bias_max)
+    hit_c = _slab_any(origins, dirs, t_min, cull_tmax, lo_c, hi_c)
     ray_mask = hit_c.any(axis=1)
     idx, count = compact_indices(ray_mask, capacity)
     safe_r = jnp.minimum(idx, n - 1)

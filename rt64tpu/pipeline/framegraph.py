@@ -192,15 +192,21 @@ def make_trace_scene(sb, rows_t, alpha_cap: int) -> tracer.TraceScene:
     no_cull = (flags & R.F_NO_CULL) != 0
     bias = rows_t[R.T_MAT + R.M_DEPTH_BIAS]
     feat = getattr(sb, "features", None)
+    v0 = rows_t[R.T_P0 : R.T_P0 + 3]
+    v1 = rows_t[R.T_P1 : R.T_P1 + 3]
+    v2 = rows_t[R.T_P2 : R.T_P2 + 3]
+    alpha_idx = tracer.sort_alpha_spatial(
+        tracer.compact_alpha(sb.tri_valid, alpha, alpha_cap), v0, v1, v2
+    )
     return tracer.TraceScene(
-        v0=rows_t[R.T_P0 : R.T_P0 + 3],
-        v1=rows_t[R.T_P1 : R.T_P1 + 3],
-        v2=rows_t[R.T_P2 : R.T_P2 + 3],
+        v0=v0,
+        v1=v1,
+        v2=v2,
         valid=sb.tri_valid,
         alpha=alpha,
         no_cull=no_cull,
         bias=bias,
-        alpha_idx=tracer.compact_alpha(sb.tri_valid, alpha, alpha_cap),
+        alpha_idx=alpha_idx,
         has_alpha=None if feat is None else feat.has_alpha,
     )
 
@@ -416,7 +422,10 @@ def _fold_shaded_slots(
     the capacity and re-specialize (view.py).
     """
     n = dirs.shape[1]
-    cap = max(1024, (n // 4) * cfg.alpha_shade_boost)
+    # Candidate rays after the per-triangle opaque-clamped alpha cull
+    # measured ~5% on the castle frame; n/16 leaves ~2.4x headroom and
+    # the boost ladder (view.py) re-specializes upward on overflow.
+    cap = max(1024, (n // 16) * cfg.alpha_shade_boost)
     if trace_scene.has_alpha is True and k_alpha > 0:
         # Compact-once path: opaque full-width, alpha fully compacted.
         t_op, tri_op, uv_op, t_opb = tracer.trace_opaque_only(
@@ -618,26 +627,23 @@ def primary_pass(
 
     # Shared transparent light (1 light, checkShadows=true,
     # PrimaryRayGen.hlsl:139-147). One row gather per selected id
-    # replaces carrying full rows through the slot loop. No runtime
-    # skip (a lax.cond fences the schedule); pixels without a
-    # transparent-lit hit ride as dead rays (tl_ctx.has_lighting False
-    # -> live masking empties their shadow intervals).
+    # replaces carrying full rows through the slot loop. Pixels without
+    # a transparent-lit hit ride as dead rays (tl_ctx.has_lighting
+    # False -> live masking empties their shadow intervals). The shadow
+    # TRACE is deferred: render_frame batches this plan's rays with the
+    # DI rounds into ONE packet-kernel launch (lighting.trace_plans),
+    # removing a whole launch + visit-list build + alpha compaction
+    # from the frame.
     st_row = tri_rows[jnp.maximum(st_tri, 0)].T
     st_row = st_row * stored[None].astype(st_row.dtype)
 
     tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
     tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
-    tl_light, tl_dropped = lighting.compute_lights_random(
-        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
-        dirs, tl_pos, tl_nrm, tl_spec, tl_ctx,
-        max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
-        noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-        opaque_fn=_shadow_fn(cfg),
-        alpha_compact=max(1024, (tl_pos.shape[1] // 8) * cfg.alpha_shade_boost),
-        shade_boost=cfg.alpha_shade_boost,
+    tl_plan = lighting.plan_lights(
+        sb, pix, bn_table, gp.frame_count, dirs, tl_pos, tl_nrm,
+        tl_spec, tl_ctx, max_light_count=1, di_samples=cfg.di_samples,
+        noise_rand=noise_rand,
     )
-    alpha_dropped = alpha_dropped + tl_dropped
-    res_transparent = res_transparent + trans_lit_sum * tl_light
 
     # Motion flow (PrimaryRayGen.hlsl:52-56, 163-175, 194).
     bg_pos = origins + dirs * tracer.RAY_MAX_DISTANCE
@@ -652,6 +658,9 @@ def primary_pass(
     flow = jnp.stack([-flow_x, flow_y], 0)  # gFlow sign flip (hlsl:194)
 
     depth = jnp.where(stored, _screen_depth(gp.view_proj, st_pos), 1.0)
+    # reactive is PROVISIONAL here: the transparent-light contribution
+    # lands in render_frame (after the batched shadow trace), which
+    # patches transparent + reactive then.
     reactive = jnp.minimum(res_transparent.max(axis=0), 0.9)
     lock_mask = jnp.where(
         gp.binary_lock_mask,
@@ -661,7 +670,7 @@ def primary_pass(
 
     # Background blend (PrimaryRayGen.hlsl:183-185).
     res_rgb = res_rgb + bg_color * res_a[None]
-    return GBuffers(
+    g = GBuffers(
         view_dir=dirs,
         position=st_pos,
         normal=st_nrm,
@@ -679,6 +688,7 @@ def primary_pass(
         row=st_row,
         alpha_dropped=alpha_dropped,
     )
+    return g, tl_plan, trans_lit_sum
 
 
 def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg,
@@ -706,10 +716,14 @@ def _reproject(prev_buf, prev_depth, prev_normal, depth, normal, flow, cfg,
 
 
 def direct_pass(
-    sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, hist: History,
-    pix, bn_table, noise_rand, row_offset=0,
+    cfg, gp, g: GBuffers, hist: History, ctx, direct_light, row_offset=0,
 ):
-    """DirectRayGen.hlsl:14-65. Returns (4, N) accumulation."""
+    """DirectRayGen.hlsl:14-65. Returns (4, N) accumulation.
+
+    `direct_light` is the already-traced ComputeLightsRandom result:
+    render_frame batches the DI shadow rays with the transparent
+    light's into one kernel launch (lighting.trace_plans) and finishes
+    each plan separately."""
     n = g.instance.shape[0]
     no_hit = g.instance < 0
 
@@ -720,17 +734,7 @@ def direct_pass(
     new_direct = jnp.where(gp.di_reproject, prev_rgb, jnp.zeros((3, n)))
     hist_len = jnp.where(gp.di_reproject, prev_len, jnp.zeros((n,)))
 
-    ctx = lighting.ctx_from_rows(g.row, g.instance >= 0)
-    res, di_dropped = lighting.compute_lights_random(
-        sb, tri_rows, trace_scene, pix, bn_table, gp.frame_count,
-        g.view_dir, g.position, g.normal, g.specular, ctx,
-        max_light_count=cfg.max_lights, di_samples=cfg.di_samples,
-        check_shadows=True, noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-        opaque_fn=_shadow_fn(cfg),
-        alpha_compact=max(1024, (g.position.shape[1] // 8) * cfg.alpha_shade_boost),
-        shade_boost=cfg.alpha_shade_boost,
-    )
-    res = res + ctx.self_light
+    res = direct_light + ctx.self_light
 
     # Eye light (DirectRayGen.hlsl:53-58) — keeps the reference's
     # non-normalized per-pixel ray direction.
@@ -748,7 +752,7 @@ def direct_pass(
     new_direct = new_direct + (res - new_direct) / hist_len[None]
     out = jnp.concatenate([new_direct, hist_len[None]], 0)
     miss = jnp.concatenate([jnp.ones((3, n)), jnp.zeros((1, n))], 0)
-    return jnp.where(no_hit[None], miss, out), di_dropped
+    return jnp.where(no_hit[None], miss, out)
 
 
 def _simple_resolve_fold(
@@ -853,7 +857,7 @@ def indirect_pass(
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
             opaque_fn=_shadow_fn(cfg),
-            alpha_compact=max(1024, (res_pos.shape[1] // 8) * cfg.alpha_shade_boost),
+            alpha_compact=max(1024, (res_pos.shape[1] // 32) * cfg.alpha_shade_boost),
             shade_boost=cfg.alpha_shade_boost,
         )
         bounce = (
@@ -1023,7 +1027,7 @@ def _refraction_impl(
         max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
         noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
-        alpha_compact=max(1024, (pos.shape[1] // 8) * cfg.alpha_shade_boost),
+        alpha_compact=max(1024, (pos.shape[1] // 32) * cfg.alpha_shade_boost),
         shade_boost=cfg.alpha_shade_boost,
     )
     ambient = vm.splat(gp.ambient_base + gp.ambient_no_gi, rgb)
@@ -1259,21 +1263,44 @@ def render_frame(
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
-    g = primary_pass(
+    g, tl_plan, trans_lit_sum = primary_pass(
         sb, gp, cfg, origins, dirs, t_min, t_max, bg_color,
         tri_rows, trace_scene, pix, bn_table, noise_rand,
     )
 
-    alpha_dropped = g.alpha_dropped
-    direct_accum, d_drop = direct_pass(
-        sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
-        noise_rand, row_offset,
+    # ONE batched shadow launch for the transparent light + all DI
+    # rounds (PrimaryRayGen.hlsl:139-147 + DirectRayGen.hlsl:49-51):
+    # one visit-list build, one occlusion kernel, one alpha
+    # cull+compaction for (1 + max_lights) x di_samples ray sets.
+    di_ctx = lighting.ctx_from_rows(g.row, g.instance >= 0)
+    di_plan = lighting.plan_lights(
+        sb, pix, bn_table, gp.frame_count, g.view_dir, g.position,
+        g.normal, g.specular, di_ctx, max_light_count=cfg.max_lights,
+        di_samples=cfg.di_samples, noise_rand=noise_rand,
+    )
+    (tl_f, di_f), light_drop = lighting.trace_plans(
+        [tl_plan, di_plan], sb, tri_rows, trace_scene, cfg.k_shadow,
+        opaque_fn=_shadow_fn(cfg),
+        alpha_compact=max(1024, (n // 32) * cfg.alpha_shade_boost),
+        shade_boost=cfg.alpha_shade_boost,
+    )
+    tl_light = lighting.finish_lights(tl_plan, tl_f)
+    transparent = g.transparent + trans_lit_sum * tl_light
+    g = g._replace(
+        transparent=transparent,
+        reactive=jnp.minimum(transparent.max(axis=0), 0.9),
+    )
+
+    alpha_dropped = g.alpha_dropped + light_drop
+    direct_accum = direct_pass(
+        cfg, gp, g, history, di_ctx, lighting.finish_lights(di_plan, di_f),
+        row_offset,
     )
     indirect_accum, i_drop = indirect_pass(
         sb, tri_rows, trace_scene, cfg, gp, g, history, pix, bn_table,
         noise_rand, bg_planes, row_offset,
     )
-    alpha_dropped = alpha_dropped + d_drop + i_drop
+    alpha_dropped = alpha_dropped + i_drop
     if cfg.refraction_enabled:
         refraction_rgb, r_drop = refraction_pass(
             sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,

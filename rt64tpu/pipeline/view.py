@@ -100,7 +100,7 @@ class ViewRenderer:
             import numpy as _np
 
             if int(_np.asarray(self._last.alpha_dropped)) > 0:
-                self._alpha_boost = min(self._alpha_boost * 2, 8)
+                self._alpha_boost = min(self._alpha_boost * 2, 16)
                 from rt64tpu.utils.log import breadcrumb
 
                 breadcrumb(f"alpha shade capacity overflow; boost -> "
