@@ -1092,6 +1092,9 @@ def make_shadow_opaque_fn(interpret: bool = False):
         t = jnp.where(blocked, 0.0, _BIG)
         tri = jnp.where(blocked, 0, -1)
         uv = jnp.zeros((n, 2), jnp.float32)
-        return t, tri, uv
+        # 4-tuple contract: bias 0 keeps trace_opaque_only from doing a
+        # per-ray scene.bias gather that the occlusion consumer never
+        # reads (profiled ~1.4 ms per 565k-ray launch).
+        return t, tri, uv, jnp.zeros((n,), jnp.float32)
 
     return opaque_fn

@@ -637,13 +637,20 @@ def primary_pass(
     st_row = tri_rows[jnp.maximum(st_tri, 0)].T
     st_row = st_row * stored[None].astype(st_row.dtype)
 
-    tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
-    tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
-    tl_plan = lighting.plan_lights(
-        sb, pix, bn_table, gp.frame_count, dirs, tl_pos, tl_nrm,
-        tl_spec, tl_ctx, max_light_count=1, di_samples=cfg.di_samples,
-        noise_rand=noise_rand,
-    )
+    feat = getattr(sb, "features", None)
+    if feat is None or feat.has_lit_transparent:
+        tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
+        tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
+        tl_plan = lighting.plan_lights(
+            sb, pix, bn_table, gp.frame_count, dirs, tl_pos, tl_nrm,
+            tl_spec, tl_ctx, max_light_count=1,
+            di_samples=cfg.di_samples, noise_rand=noise_rand,
+        )
+    else:
+        # No instance can produce a trans-lit hit (ShadeFeatures):
+        # the plan, its row gather, and its 1xN shadow rays all
+        # compile out.
+        tl_plan = None
 
     # Motion flow (PrimaryRayGen.hlsl:52-56, 163-175, 194).
     bg_pos = origins + dirs * tracer.RAY_MAX_DISTANCE
@@ -727,12 +734,13 @@ def direct_pass(
     n = g.instance.shape[0]
     no_hit = g.instance < 0
 
-    prev_rgb, prev_len = _reproject(
-        hist.direct, hist.depth, hist.normal, g.depth, g.normal, g.flow, cfg,
-        row_offset,
-    )
-    new_direct = jnp.where(gp.di_reproject, prev_rgb, jnp.zeros((3, n)))
-    hist_len = jnp.where(gp.di_reproject, prev_len, jnp.zeros((n,)))
+    # DI reprojection is compiled out in the reference
+    # (DI_REPROJECTION_SUPPORT undefined, rt64_view.cpp:1012-1016), so
+    # the history gather is statically elided too — gp.di_reproject is
+    # hardwired False (view.py) and the masked gather still cost ~1.8
+    # ms/frame at 512x368 before this skip.
+    new_direct = jnp.zeros((3, n))
+    hist_len = jnp.zeros((n,))
 
     res = direct_light + ctx.self_light
 
@@ -1278,18 +1286,21 @@ def render_frame(
         g.normal, g.specular, di_ctx, max_light_count=cfg.max_lights,
         di_samples=cfg.di_samples, noise_rand=noise_rand,
     )
-    (tl_f, di_f), light_drop = lighting.trace_plans(
-        [tl_plan, di_plan], sb, tri_rows, trace_scene, cfg.k_shadow,
+    plans = [di_plan] if tl_plan is None else [tl_plan, di_plan]
+    factors, light_drop = lighting.trace_plans(
+        plans, sb, tri_rows, trace_scene, cfg.k_shadow,
         opaque_fn=_shadow_fn(cfg),
         alpha_compact=max(1024, (n // 32) * cfg.alpha_shade_boost),
         shade_boost=cfg.alpha_shade_boost,
     )
-    tl_light = lighting.finish_lights(tl_plan, tl_f)
-    transparent = g.transparent + trans_lit_sum * tl_light
-    g = g._replace(
-        transparent=transparent,
-        reactive=jnp.minimum(transparent.max(axis=0), 0.9),
-    )
+    di_f = factors[-1]
+    if tl_plan is not None:
+        tl_light = lighting.finish_lights(tl_plan, factors[0])
+        transparent = g.transparent + trans_lit_sum * tl_light
+        g = g._replace(
+            transparent=transparent,
+            reactive=jnp.minimum(transparent.max(axis=0), 0.9),
+        )
 
     alpha_dropped = g.alpha_dropped + light_drop
     direct_accum = direct_pass(

@@ -48,6 +48,12 @@ class ShadeFeatures(NamedTuple):
     has_normal_maps: bool = True
     has_specular_maps: bool = True
     has_texel1: bool = True  # any TEXEL1 (alt) texture bound
+    # Any instance that can yield a TRANSPARENT-LIT primary hit
+    # (lighting on, alpha-class, partial alpha possible — i.e. not
+    # binarized by texture-edge; PrimaryRayGen.hlsl:139-147). When
+    # False the whole shared-transparent-light machinery (its light
+    # plan + 1xN shadow rays in the batched launch) compiles out.
+    has_lit_transparent: bool = True
 
 
 @jax.tree_util.register_pytree_node_class
@@ -415,11 +421,27 @@ class ScenePacker:
                 has_smap = True
             if sh.combiner.use_textures[1] and inst.desc.alt_texture is not None:
                 has_t1 = True
+        has_lit_tl = False
+        for inst in instances[:I]:
+            sh = inst.desc.shader
+            m = inst.desc.material
+            if sh is None:
+                continue
+            # Conservative: lit + alpha-class + alpha not binarized.
+            # texture_edge clamps hit alpha to {0, 1} (before the noise
+            # keep/zero), and alpha 1 takes the apply-lights path, so
+            # it can never produce the 0 < alpha <= 0.5 trans-lit case.
+            cc = sh.combiner
+            binarized = cc.opt_texture_edge
+            if (m.light_group_mask_bits != 0
+                    and self._alpha_class(sh, m) and not binarized):
+                has_lit_tl = True
         features = ShadeFeatures(
             has_alpha=getattr(self, "alpha_triangle_count", 0) > 0,
             has_normal_maps=has_nmap,
             has_specular_maps=has_smap,
             has_texel1=has_t1,
+            has_lit_transparent=has_lit_tl,
         )
 
         return SceneBuffers(
