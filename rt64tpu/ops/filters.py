@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from rt64tpu.ops.vecmath import pvary
+
 EPSILON = 1e-6
 
 
@@ -131,7 +133,9 @@ def motion_blur(output, flow_img, resolution_xy, strength, samples: int):
             vv = jnp.clip(start_v + flow_v * sf, 0.0, 1.0)
             return acc + bilinear_quad(packed, 3, h, w, uu, vv)
 
-        acc = jax.lax.fori_loop(0, samples, body, jnp.zeros((3, h * w)))
+        acc = jax.lax.fori_loop(
+            0, samples, body, pvary(jnp.zeros((3, h * w)))
+        )
         blurred = (acc / samples).reshape(3, h, w)
         active = (flow_len > 1e-6).reshape(1, h, w)
         return jnp.where(active, blurred, output)

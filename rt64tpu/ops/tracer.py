@@ -35,6 +35,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from rt64tpu.ops.vecmath import pvary
+
 RAY_MIN_DISTANCE = 0.1  # Ray.hlsli:8
 RAY_MAX_DISTANCE = 100000.0  # Ray.hlsli:9
 _BIG = 3.0e37
@@ -249,7 +251,9 @@ def trace_opaque(
         tri_op = jnp.where(better, idx, tri_op)
         return (t_op, tri_op), None
 
-    init = (jnp.full((n,), _BIG, jnp.float32), jnp.full((n,), -1, jnp.int32))
+    init = pvary(
+        (jnp.full((n,), _BIG, jnp.float32), jnp.full((n,), -1, jnp.int32))
+    )
     (t_op, tri_op), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )

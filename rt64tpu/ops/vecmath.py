@@ -15,6 +15,27 @@ def v3(x, y, z):
     return jnp.stack([x, y, z], axis=0)
 
 
+def pvary(x):
+    """Mark x varying over every manual (shard_map) axis currently
+    bound; a no-op outside shard_map.
+
+    scan/fori carries initialized from replicated constants but updated
+    with device-varying data trip shard_map's varying-axis check
+    (check_vma) because the carry's input and output VMA types differ.
+    Wrapping the init with this helper states the intent explicitly —
+    the carry is per-device data — instead of silencing the checker.
+    """
+    import jax
+    from jax._src import core  # no public alias for get_axis_env yet
+
+    names = tuple(core.get_axis_env().axis_names())
+    if not names:
+        return x
+    return jax.tree.map(
+        lambda a: jax.lax.pcast(a, names, to="varying"), x
+    )
+
+
 def splat(c, like):
     """Constant (3,) vector broadcast against `like` (3, ...)."""
     c = jnp.asarray(c, like.dtype)

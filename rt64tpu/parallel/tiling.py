@@ -111,9 +111,10 @@ def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0
         mesh=mesh,
         in_specs=(rep, rep, hist_in, rep, rep),
         out_specs=out_specs,
-        # Scan carries inside the frame mix replicated zeros with
-        # device-varying data; skip the strict varying-axis check.
-        check_vma=False,
+        # Varying-axis checking is ON: scan/fori carry inits that are
+        # per-device data are annotated with vecmath.pvary at their
+        # definition sites, so shard_map statically validates the frame.
+        check_vma=True,
     )
     return jax.jit(fn)
 
