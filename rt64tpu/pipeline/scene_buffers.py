@@ -294,6 +294,26 @@ class ScenePacker:
         irows[:, R.I_TEX_S] = -1
         irows[:, R.I_TEX_D2] = -1
 
+        # Streamed-frame fast path (rt64_view.cpp:1053-1178 re-packs
+        # every frame; the 16.6 ms budget includes this host work):
+        # the content columns (I_MAT..end) of each instance row are
+        # cached against a cheap value-key of the descriptor, so only
+        # instances whose material/shader/texture state actually
+        # changed re-pack. Transforms change every frame in a streamed
+        # scene, so they are filled vectorized (batched inverse) below
+        # rather than cached.
+        n_act = min(len(instances), I)
+        tfs = np.empty((n_act, 4, 4), np.float32)
+        ptfs = np.empty((n_act, 4, 4), np.float32)
+        elig_n = min(len(lgroups), R.MAX_ELIG_LIGHTS, lm.max_lights)
+        epoch = (
+            tuple(int(g) for g in lgroups[:elig_n]),
+            id(self._np.get("quad_records")),
+            getattr(self, "_next_rec", 0),
+        )
+        cache = getattr(self, "_row_cache", {})
+        new_cache = {}
+
         for ii, inst in enumerate(instances[:I]):
             de = inst.desc
             m = de.material
@@ -306,12 +326,15 @@ class ScenePacker:
                 np.asarray(de.previous_transform, np.float32).reshape(4, 4)
                 if de.previous_transform is not None else tf
             )
-            irows[ii, R.I_M3 : R.I_M3 + 9] = tf[:3, :3].reshape(-1)
-            irows[ii, R.I_TR : R.I_TR + 3] = tf[3, :3]
-            nm = np.linalg.inv(tf[:3, :3]).T
-            irows[ii, R.I_NM3 : R.I_NM3 + 9] = nm.reshape(-1)
-            irows[ii, R.I_PM3 : R.I_PM3 + 9] = ptf[:3, :3].reshape(-1)
-            irows[ii, R.I_PTR : R.I_PTR + 3] = ptf[3, :3]
+            tfs[ii] = tf
+            ptfs[ii] = ptf
+
+            ckey = (self._content_key(de), epoch)
+            hit = cache.get(id(inst))
+            if hit is not None and hit[0] == ckey:
+                irows[ii, R.I_MAT :] = hit[1]
+                new_cache[id(inst)] = hit
+                continue
 
             mat = irows[ii, R.I_MAT : R.I_MAT + R.M_WIDTH]
             mat[R.M_IGNORE_NORMAL] = m.ignore_normal_factor
@@ -374,9 +397,32 @@ class ScenePacker:
 
             # Light eligibility: exact uint32 mask test done on host.
             gm = np.uint32(m.light_group_mask_bits & 0xFFFFFFFF)
-            nl = min(len(lgroups), R.MAX_ELIG_LIGHTS, lm.max_lights)
-            for l in range(nl):
+            for l in range(elig_n):
                 irows[ii, R.I_ELIG + l] = float(bool(gm & lgroups[l]))
+
+            new_cache[id(inst)] = (ckey, irows[ii, R.I_MAT :].copy())
+
+        self._row_cache = new_cache
+
+        # Vectorized transform fill: batched 3x3 inverse-transpose for
+        # the normal matrices (one LAPACK batch instead of n_act Python
+        # inversions). Singular transforms (scale-0 hidden instances)
+        # fall back to identity normals instead of raising.
+        if n_act:
+            m3 = tfs[:, :3, :3]
+            irows[:n_act, R.I_M3 : R.I_M3 + 9] = m3.reshape(n_act, 9)
+            irows[:n_act, R.I_TR : R.I_TR + 3] = tfs[:, 3, :3]
+            det = np.linalg.det(m3.astype(np.float64))
+            ok = np.abs(det) > 1e-30
+            safe = np.where(
+                ok[:, None, None], m3, np.eye(3, dtype=np.float32)
+            )
+            nm = np.linalg.inv(safe).transpose(0, 2, 1)
+            irows[:n_act, R.I_NM3 : R.I_NM3 + 9] = nm.reshape(n_act, 9)
+            irows[:n_act, R.I_PM3 : R.I_PM3 + 9] = (
+                ptfs[:, :3, :3].reshape(n_act, 9)
+            )
+            irows[:n_act, R.I_PTR : R.I_PTR + 3] = ptfs[:, 3, :3]
 
         # Bake each instance's texture records (offset, w, h) into the
         # row (I_REC) so sampling needs no per-pixel records[] gather.
@@ -499,6 +545,31 @@ class ScenePacker:
                 rows[count, RR_INST] = ii
                 count += 1
         return rows, count
+
+    @staticmethod
+    def _content_key(de) -> tuple:
+        """Value-key of every descriptor field that feeds the content
+        columns (I_MAT..end) of an instance row. Cheap to compute
+        (attribute reads + one tuple) so the streamed-frame loop can
+        skip re-packing unchanged instances; compared by value, not
+        object identity, because hosts re-push the same (mutated)
+        descriptor object every frame (rt64_view.cpp:1053-1178)."""
+        def _v(x):
+            if isinstance(x, np.ndarray):
+                return tuple(np.asarray(x).ravel().tolist())
+            if isinstance(x, (list, tuple)):
+                return tuple(_v(e) for e in x)
+            return x
+
+        m = de.material
+        return (
+            tuple(_v(v) for v in vars(m).values()),
+            id(de.shader),
+            id(de.diffuse_texture), id(de.normal_texture),
+            id(de.specular_texture), id(de.alt_texture),
+            _v(de.viewport_rect), _v(de.scissor_rect),
+            int(de.flags),
+        )
 
     @staticmethod
     def _alpha_class(shader, material: d.Material) -> bool:

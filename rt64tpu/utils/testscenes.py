@@ -139,8 +139,13 @@ def hud_triangle(scene, device, color=(1.0, 0.2, 0.2, 0.8), background=False):
 
 def build_sample_scene(width=320, height=240, limits=None, di_samples=1,
                        gi_samples=1, denoiser=False, upscaler=d.UPSCALER_OFF,
-                       sphere_reflection=0.3):
-    """Sphere + floor + sky + sun — the src/sample/main.cpp analog."""
+                       sphere_reflection=0.3, with_glass=False):
+    """Sphere + floor + sky + sun — the src/sample/main.cpp analog.
+
+    with_glass adds a refractive (glass) sphere and an alpha-blended
+    quad so every static feature path — refraction, lit-transparent,
+    compacted alpha — is live (used by the full-pipeline multichip
+    dryrun and parallel tests)."""
     limits = limits or SceneLimits(
         max_vertices=2048, max_triangles=2048, max_instances=8,
         max_textures=8, texel_pool=1 << 17,
@@ -195,6 +200,38 @@ def build_sample_scene(width=320, height=240, limits=None, di_samples=1,
         mesh=floor_mesh, transform=np.eye(4, dtype=np.float32),
         shader=color_shader, material=d.Material(),
     ))
+
+    if with_glass:
+        gvs, gidx = uv_sphere(radius=0.8, rings=12, sectors=16)
+        glass_mesh = rt64tpu.Mesh(
+            device, d.MESH_RAYTRACE_ENABLED | d.MESH_RAYTRACE_FAST_TRACE
+        )
+        gdata = interleave(gvs, input_color=(0.9, 0.95, 1.0), with_uv=True)
+        glass_mesh.set_mesh(gdata, len(gvs), gdata.shape[1] * 4, gidx)
+        glass = rt64tpu.Instance(scene)
+        glass.set_description(d.InstanceDesc(
+            mesh=glass_mesh,
+            transform=math3d.translation(2.5, 0.9, 1.5),
+            shader=color_shader,
+            material=d.Material(refraction_factor=1.2),
+        ))
+        # Alpha-blended quad: lit-transparent + compacted-alpha paths.
+        av = [
+            ((-1.5, 0.0, 3.5), (0, 0, 1), (0, 0)),
+            ((1.5, 0.0, 3.5), (0, 0, 1), (1, 0)),
+            ((1.5, 2.5, 3.5), (0, 0, 1), (1, 1)),
+            ((-1.5, 2.5, 3.5), (0, 0, 1), (0, 1)),
+        ]
+        aidx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+        amesh = rt64tpu.Mesh(device, d.MESH_RAYTRACE_ENABLED)
+        adata = interleave(av, input_color=(0.4, 0.8, 0.9), with_uv=True)
+        amesh.set_mesh(adata, 4, adata.shape[1] * 4, aidx)
+        aq = rt64tpu.Instance(scene)
+        aq.set_description(d.InstanceDesc(
+            mesh=amesh, transform=np.eye(4, dtype=np.float32),
+            shader=color_shader,
+            material=d.Material(solid_alpha_multiplier=0.45),
+        ))
 
     view.set_sky_plane(skytex)
     scene.set_lights([
