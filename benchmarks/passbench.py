@@ -91,7 +91,7 @@ def main():
     bench("build_tri_rows", lambda c: shade_ops.build_tri_rows(sb)[1].sum() * 0 + c + 1)
 
     def opaque_step(c):
-        t, tri, uv = (opaque_fn or tracer.trace_opaque)(
+        t, tri, *rest = (opaque_fn or tracer.trace_opaque)(
             origins, dirs, tweak(c), t_max, trace_scene,
             cull_backface=True, chunk=cfg.tri_chunk)
         return c + t.sum() * 0 + tri.sum() * 0

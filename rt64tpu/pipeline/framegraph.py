@@ -75,6 +75,15 @@ class RenderConfig:
     full_height: int = 0
 
     @property
+    def display_grid_height(self) -> int:
+        """Full-image display height (sharded configs divide
+        display_height by the device count; screen-space math like the
+        sky-plane aspect must use the whole viewport)."""
+        if not self.full_height:
+            return self.display_height
+        return self.display_height * (self.full_height // self.rt_height)
+
+    @property
     def grid_height(self) -> int:
         return self.full_height or self.rt_height
 
@@ -989,7 +998,7 @@ def _lit_secondary_fold(
 
 def refraction_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
-    noise_rand, bg_planes, screen_u, screen_v,
+    noise_rand, bg_planes, screen_u, screen_v, screen_v_bg=None,
 ):
     """RefractionRayGen.hlsl:17-117. Returns ((3, N), dropped).
 
@@ -1000,23 +1009,27 @@ def refraction_pass(
     return _refraction_impl(
         sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table,
         noise_rand, bg_planes, screen_u, screen_v,
+        screen_v if screen_v_bg is None else screen_v_bg,
     )
 
 
 def _refraction_impl(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
-    noise_rand, bg_planes, screen_u, screen_v,
+    noise_rand, bg_planes, screen_u, screen_v, screen_v_bg,
 ):
     n = g.instance.shape[0]
     active = (g.instance >= 0) & (g.refr_alpha > EPSILON)
     eta = g.row[R.T_MAT + R.M_REFRACTION]
     ray_dir = _refract(g.view_dir, g.normal, eta)
 
-    bg = sky.sample_background_2d(bg_planes, screen_u, screen_v)
+    bg = sky.sample_background_2d(bg_planes, screen_u, screen_v_bg)
     sky_c = sky.sample_sky_2d(
         sb.quad_pool, sb.quad_records,
         jnp.broadcast_to(gp.sky_plane_rec, (n,)), screen_u, screen_v,
-        gp.view_i, jnp.asarray([cfg.display_width, cfg.display_height], jnp.float32),
+        gp.view_i,
+        jnp.asarray(
+            [cfg.display_width, cfg.display_grid_height], jnp.float32
+        ),
         gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
     )
     bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
@@ -1257,14 +1270,22 @@ def render_frame(
     )
     bg_planes = to_image(cfg, bg_rgba[:3])
 
-    # Background + sky (PrimaryRayGen.hlsl:47-56).
+    # Background + sky (PrimaryRayGen.hlsl:47-56). The sky-plane uv is
+    # a function of the GLOBAL screen position (sv); the raster
+    # background fetch addresses the band-local plane (sv_bg) — they
+    # only coincide unsharded.
     su = (pix[:, 0].astype(jnp.float32) + gp.pixel_jitter[0]) / w
     sv = (pix[:, 1].astype(jnp.float32) + gp.pixel_jitter[1]) / cfg.grid_height
-    bg_color = sky.sample_background_2d(bg_planes, su, sv)
+    sv_bg = (
+        (pix[:, 1] - row_offset).astype(jnp.float32) + gp.pixel_jitter[1]
+    ) / h
+    bg_color = sky.sample_background_2d(bg_planes, su, sv_bg)
     sky_c = sky.sample_sky_2d(
         sb.quad_pool, sb.quad_records, jnp.broadcast_to(gp.sky_plane_rec, (n,)),
         su, sv, gp.view_i,
-        jnp.asarray([cfg.display_width, cfg.display_height], jnp.float32),
+        jnp.asarray(
+            [cfg.display_width, cfg.display_grid_height], jnp.float32
+        ),
         gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
     )
     bg_color = bg_color * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
@@ -1315,7 +1336,7 @@ def render_frame(
     if cfg.refraction_enabled:
         refraction_rgb, r_drop = refraction_pass(
             sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
-            bg_planes, su, sv,
+            bg_planes, su, sv, sv_bg,
         )
         alpha_dropped = alpha_dropped + r_drop
     else:
