@@ -102,6 +102,32 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
     carries_temporal = scaling and cfg.upscaler in (
         d.UPSCALER_FSR, d.UPSCALER_AUTO
     )
+    # Per-frame globals INSIDE the scan: frame_count drives every noise
+    # fetch and the jitter phase advances like a real host loop. A
+    # constant gp makes the whole render loop-invariant — XLA hoists it
+    # and the scan times one real frame plus (frames-1) no-ops (this
+    # inflated earlier ladder numbers by up to 13x on history-free
+    # configs; the reference advances globalParams.frameCount every
+    # frame, rt64_view.cpp:996-1010).
+    from rt64tpu.ops import math3d as _m3
+    from rt64tpu.models import upscaler as _ups
+
+    if cfg.upscaler != d.UPSCALER_OFF:
+        phases = _ups.jitter_phase_count(cfg.rt_width, cfg.display_width)
+        jit_tab = np.stack(
+            [np.asarray(_m3.halton_jitter(f, phases), np.float32)
+             for f in range(frames)]
+        )
+    else:
+        jit_tab = np.zeros((frames, 2), np.float32)
+    jit_tab = jnp.asarray(jit_tab)
+
+    def frame_gp(gp, i):
+        return gp._replace(
+            frame_count=(gp.frame_count + i).astype(jnp.uint32),
+            pixel_jitter=jit_tab[i],
+        )
+
     if carries_temporal:
         gp = gp._replace(temporal_reset=jnp.bool_(False))
         temporal0 = jnp.zeros(
@@ -109,12 +135,15 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
         )
 
         def run_frames(sb, gp, hist, temporal, bn, bg):
-            def body(carry, _):
+            def body(carry, i):
                 h, tmp = carry
-                o = fg.render_frame(sb, gp, h, bn, bg, tmp, cfg=cfg)
+                o = fg.render_frame(
+                    sb, frame_gp(gp, i), h, bn, bg, tmp, cfg=cfg
+                )
                 return (o.history, o.temporal), o.image.mean()
             _, means = jax.lax.scan(
-                body, (hist, temporal), None, length=frames
+                body, (hist, temporal),
+                jnp.arange(frames, dtype=jnp.uint32),
             )
             return means
 
@@ -122,10 +151,12 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
         args = lambda h: (r._sb, gp, h, temporal0, r.bn_table, bg)
     else:
         def run_frames(sb, gp, hist, bn, bg):
-            def body(h, _):
-                o = fg.render_frame(sb, gp, h, bn, bg, cfg=cfg)
+            def body(h, i):
+                o = fg.render_frame(sb, frame_gp(gp, i), h, bn, bg, cfg=cfg)
                 return o.history, o.image.mean()
-            _, means = jax.lax.scan(body, hist, None, length=frames)
+            _, means = jax.lax.scan(
+                body, hist, jnp.arange(frames, dtype=jnp.uint32)
+            )
             return means
 
         jf = jax.jit(run_frames, donate_argnums=(2,))
@@ -138,6 +169,51 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
         np.asarray(jf(*args(hist)))
     dt = (time.time() - t0) / (reps * frames)
     return 1.0 / dt, cfg
+
+
+def measure_streamed(scene_name, width, height, di, gi, reflections,
+                     frames, reps, upscaler="off", mode="auto"):
+    """Host-driven production loop: per-frame descriptor pushes through
+    ScenePacker.pack_frame, one dispatch per frame, present — the
+    reference's actual frame loop (rt64_view.cpp:1053-1178 re-packs
+    transforms/materials/lights inside the 16.6 ms budget). Unlike
+    measure(), frames are NOT device-chained: host packing, dispatch
+    latency, and the present readback all count."""
+    import numpy as np
+
+    from rt64tpu.ops import math3d
+
+    dev, scene, view = build(
+        scene_name, width, height, di, gi, reflections, upscaler, mode,
+    )
+    view._renderer.pipelined = True  # overlap present with next frame
+    inst = scene.instances[min(1, len(scene.instances) - 1)]
+    base_tf = (
+        np.asarray(inst.desc.transform, np.float32).reshape(4, 4)
+        if inst.desc.transform is not None
+        else np.eye(4, dtype=np.float32)
+    )
+
+    def push(f):
+        de = inst.desc
+        de.previous_transform = de.transform
+        de.transform = math3d.rotation_y(0.03 * f) @ base_tf
+        inst.set_description(de)
+        # Hosts re-push the camera every frame (main.cpp WM_PAINT).
+        view.set_perspective(
+            view.view_matrix, view.fov_radians, view.near_dist,
+            view.far_dist, True,
+        )
+        dev.draw()
+
+    for f in range(frames):  # warm: compile + capacity settle
+        push(f)
+    t0 = time.time()
+    for rep in range(reps):
+        for f in range(frames):
+            push(frames * (rep + 1) + f)
+    dt = (time.time() - t0) / (reps * frames)
+    return 1.0 / dt, view._renderer._config()
 
 
 def measure_ssim(scene_name, width, height, di, gi, reflections,
