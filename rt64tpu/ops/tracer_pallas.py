@@ -49,7 +49,7 @@ CLUSTER_SIZE = 128  # triangles per cluster (one lane tile)
 BLOCK_RAYS = 512  # rays per kernel program (4 sublane rows of 128)
 GROUP_CLUSTERS = 8  # clusters per mid-level AABB group (two-level culling)
 SUPER_BLOCKS = 4  # ray blocks walked per kernel program (VMEM kernels)
-VISIT_UNROLL = 2  # clusters per while-loop iteration (VMEM kernels)
+VISIT_UNROLL = 4  # clusters per while-loop iteration (VMEM kernels)
 # Clusters live wholly in VMEM when the table fits comfortably (scene
 # up to ~87k triangles); beyond that the kernel falls back to the
 # double-buffered HBM DMA walk. VMEM is ~16 MB/core; 4 MB leaves room
@@ -95,6 +95,109 @@ def build_cluster_data(scene):
     lo = jnp.where(act, lo, big).reshape(3, nc, CLUSTER_SIZE).min(axis=2)
     hi = jnp.where(act, hi, -big).reshape(3, nc, CLUSTER_SIZE).max(axis=2)
     return cluster_tris, lo, hi
+
+
+# Woop unit-triangle transform rows (cluster_mats, shape
+# (nc, 8, 3*CS)): rows 0..3 are the matmul operand — for output group
+# g (x/y/z) and triangle j, column g*CS+j holds [W_g | -W_g.v0] so that
+# [o,1,0..] @ m = s and [d,0,0..] @ m = r with s = W(o - v0), r = W d.
+# Rows 4..7 ride in the same tile but multiply the rays' zero columns
+# (matmul-inert); the kernel reads them as per-triangle aux rows.
+W_NN = 4  # n.n (n = e1 x e2): recovers MT's det = -r_z * nn
+W_ACTIVE = 5
+W_NO_CULL = 6
+W_BIAS = 7
+W_ROWS = 8
+
+
+def build_cluster_mats(scene):
+    """Cluster-major Woop transforms for the MXU intersection tile.
+
+    The VPU Moller-Trumbore tile costs ~45 elementwise ops per
+    (ray, tri) pair; with the unit-triangle (Woop) transform the
+    per-visit work becomes ONE (2B,8)x(8,3CS) matmul on the MXU plus a
+    ~16-op VPU tail (t = -s_z/r_z, u = s_x + t r_x, v = s_y + t r_y),
+    measured 1.8x faster per visit (benchmarks/woopbench.py). W is the
+    inverse of [e1 e2 n]: rows (e2 x n, n x e1, n) / (n.n)."""
+    t_total = scene.num_triangles
+    assert t_total % CLUSTER_SIZE == 0, t_total
+    nc = t_total // CLUSTER_SIZE
+
+    v0 = scene.v0
+    e1 = scene.v1 - scene.v0
+    e2 = scene.v2 - scene.v0
+
+    def cross(a, b):
+        return jnp.stack([
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ], axis=0)
+
+    n = cross(e1, e2)
+    nn = (n * n).sum(axis=0)
+    safe = nn > 1e-30
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, nn, 1.0), 0.0)
+    w0 = cross(e2, n) * inv[None]
+    w1 = cross(n, e1) * inv[None]
+    w2 = n * inv[None]
+    tr = jnp.stack([
+        -(w0 * v0).sum(axis=0),
+        -(w1 * v0).sum(axis=0),
+        -(w2 * v0).sum(axis=0),
+    ], axis=0)  # (3, T)
+    active = (scene.valid & ~scene.alpha & safe).astype(jnp.float32)
+
+    w = jnp.stack([w0, w1, w2], axis=1)  # (3 in-dims, 3 groups, T)
+    aux = jnp.stack([
+        nn, active, scene.no_cull.astype(jnp.float32), scene.bias,
+    ], axis=0)  # (4, T)
+    aux3 = jnp.broadcast_to(aux[:, None, :], (4, 3, aux.shape[1]))
+    m = jnp.concatenate([w, tr[None], aux3], axis=0)  # (8, 3, T)
+    m = m.reshape(W_ROWS, 3, nc, CLUSTER_SIZE).transpose(2, 0, 1, 3)
+    return m.reshape(nc, W_ROWS, 3 * CLUSTER_SIZE)
+
+
+def _block_od(rays_ref, sl):
+    """(2B, 8) homogeneous ray operand for the Woop matmul: first B
+    rows [o, 1, 0...], next B rows [d, 0, 0...]. Built once per ray
+    block, amortized over its cluster visits."""
+    b = BLOCK_RAYS
+    o_t = rays_ref[0:3, sl]  # (3, B)
+    d_t = rays_ref[3:6, sl]
+    ones = jnp.ones((b, 1), jnp.float32)
+    return jnp.concatenate([
+        jnp.concatenate([o_t.T, ones, jnp.zeros((b, 4), jnp.float32)], 1),
+        jnp.concatenate([d_t.T, jnp.zeros((b, 5), jnp.float32)], 1),
+    ], axis=0)
+
+
+def _woop_cluster(m, od, tmin, tmax, cull_backface):
+    """512x128 Woop intersection of one cluster against a ray block.
+    Same contract as _mt_cluster: (hit, t, u, v) planes (B, CS).
+    Backface semantics match MT exactly: det = -r_z * nn equals
+    e1.(d x e2) algebraically, so the 1e-9 thresholds carry over."""
+    cs = CLUSTER_SIZE
+    b = od.shape[0] // 2
+    sr = jnp.dot(od, m, preferred_element_type=jnp.float32)  # (2B, 3CS)
+    sx, sy, sz = sr[:b, 0:cs], sr[:b, cs:2 * cs], sr[:b, 2 * cs:3 * cs]
+    rx, ry, rz = sr[b:, 0:cs], sr[b:, cs:2 * cs], sr[b:, 2 * cs:3 * cs]
+    det = -(rz * m[W_NN, 0:cs][None, :])
+    if cull_backface:
+        keep = (det > 1e-9) | (
+            (m[W_NO_CULL, 0:cs][None, :] > 0.0) & (det < -1e-9)
+        )
+    else:
+        keep = jnp.abs(det) > 1e-9
+    t = -sz / jnp.where(keep, rz, 1.0)
+    u = sx + t * rx
+    v = sy + t * ry
+    hit = (
+        keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= tmin) & (t <= tmax)
+        & (m[W_ACTIVE, 0:cs][None, :] > 0.0)
+    )
+    return hit, t, u, v
 
 
 def _slab_per_ray(origins, dirs, t_min, t_max, lo, hi):
@@ -506,12 +609,7 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
     for s in range(super_blocks):
         count = ivals_ref[s, 0]
         sl = slice(s * BLOCK_RAYS, (s + 1) * BLOCK_RAYS)
-        ox = rays_ref[0, sl].reshape(BLOCK_RAYS, 1)
-        oy = rays_ref[1, sl].reshape(BLOCK_RAYS, 1)
-        oz = rays_ref[2, sl].reshape(BLOCK_RAYS, 1)
-        dx = rays_ref[3, sl].reshape(BLOCK_RAYS, 1)
-        dy = rays_ref[4, sl].reshape(BLOCK_RAYS, 1)
-        dz = rays_ref[5, sl].reshape(BLOCK_RAYS, 1)
+        od = _block_od(rays_ref, sl)
         tmin = rays_ref[6, sl].reshape(BLOCK_RAYS, 1)
         tmax = rays_ref[7, sl].reshape(BLOCK_RAYS, 1)
 
@@ -526,11 +624,13 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
             # coarsens the early-out check, never its correctness.
             for k in range(VISIT_UNROLL):
                 cid = ivals_ref[s, 1 + i + k]
-                tri = cluster_ref[cid]  # (C_ROWS, CS) — VMEM, no DMA
-                hit, t, u, v = _mt_cluster(
-                    tri, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface
+                m = cluster_ref[cid]  # (W_ROWS, 3*CS) — VMEM, no DMA
+                hit, t, u, v = _woop_cluster(
+                    m, od, tmin, tmax, cull_backface
                 )
-                bias = jnp.broadcast_to(tri[C_BIAS][None, :], key_best.shape)
+                bias = jnp.broadcast_to(
+                    m[W_BIAS, 0:CLUSTER_SIZE][None, :], key_best.shape
+                )
                 key = jnp.where(hit, t - bias, _BIG)
                 better = key < key_best
                 key_best = jnp.where(better, key, key_best)
@@ -700,12 +800,7 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
     for s in range(super_blocks):
         count = ivals_ref[s, 0]
         sl = slice(s * BLOCK_RAYS, (s + 1) * BLOCK_RAYS)
-        ox = rays_ref[0, sl].reshape(BLOCK_RAYS, 1)
-        oy = rays_ref[1, sl].reshape(BLOCK_RAYS, 1)
-        oz = rays_ref[2, sl].reshape(BLOCK_RAYS, 1)
-        dx = rays_ref[3, sl].reshape(BLOCK_RAYS, 1)
-        dy = rays_ref[4, sl].reshape(BLOCK_RAYS, 1)
-        dz = rays_ref[5, sl].reshape(BLOCK_RAYS, 1)
+        od = _block_od(rays_ref, sl)
         tmin = rays_ref[6, sl].reshape(BLOCK_RAYS, 1)
         tmax = rays_ref[7, sl].reshape(BLOCK_RAYS, 1)
 
@@ -721,10 +816,8 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
             i, blocked_n, worst, bl = carry
             for k in range(VISIT_UNROLL):
                 cid = ivals_ref[s, 1 + i + k]
-                tri = cluster_ref[cid]
-                hit, _, _, _ = _mt_cluster(
-                    tri, ox, oy, oz, dx, dy, dz, tmin, tmax, False
-                )
+                m = cluster_ref[cid]
+                hit, _, _, _ = _woop_cluster(m, od, tmin, tmax, False)
                 bl = jnp.maximum(bl, jnp.where(hit, 1.0, 0.0))
             row_blocked = bl.max(axis=1, keepdims=True)
             blocked_n = row_blocked.sum()
@@ -882,19 +975,27 @@ def make_opaque_fn(interpret: bool = False):
             origins_p, dirs_p, t_min_p, t_max_k, lo, hi, BLOCK_RAYS,
             bias_max=bias_max,
         )
-        # Append an always-inactive pad cluster for the visit padding id.
-        pad_cluster = jnp.zeros((1,) + cluster_tris.shape[1:], cluster_tris.dtype)
-        cluster_tris = jnp.concatenate([cluster_tris, pad_cluster], axis=0)
-
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_k[None]], axis=0
         )
-        impl = (
-            _trace_opaque_vmem_impl if _clusters_fit_vmem(cluster_tris)
-            else _trace_opaque_pallas_impl
-        )
+        # VMEM kernels take the Woop matmul form; the HBM-DMA fallback
+        # (scenes past the VMEM budget) keeps the MT triangle rows.
+        mats = build_cluster_mats(scene)
+        if _clusters_fit_vmem(mats):
+            # Append an always-inactive pad cluster (visit padding id).
+            cluster = jnp.concatenate(
+                [mats, jnp.zeros((1,) + mats.shape[1:], mats.dtype)], 0
+            )
+            impl = _trace_opaque_vmem_impl
+        else:
+            cluster = jnp.concatenate(
+                [cluster_tris,
+                 jnp.zeros((1,) + cluster_tris.shape[1:],
+                           cluster_tris.dtype)], 0
+            )
+            impl = _trace_opaque_pallas_impl
         t, tri, u, v, bias = impl(
-            rays8, cluster_tris, visits, counts, entries, cull_backface,
+            rays8, cluster, visits, counts, entries, cull_backface,
             interpret,
         )
         t, tri = t[:n], tri[:n]
@@ -1077,17 +1178,24 @@ def make_shadow_opaque_fn(interpret: bool = False):
         visits, counts, entries = block_visit_lists(
             origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
         )
-        pad_cluster = jnp.zeros((1,) + cluster_tris.shape[1:], cluster_tris.dtype)
-        cluster_tris = jnp.concatenate([cluster_tris, pad_cluster], axis=0)
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
         )
-        shadow_impl = (
-            _shadow_vmem_impl if _clusters_fit_vmem(cluster_tris)
-            else _shadow_pallas_impl
-        )
+        mats = build_cluster_mats(scene)
+        if _clusters_fit_vmem(mats):
+            cluster = jnp.concatenate(
+                [mats, jnp.zeros((1,) + mats.shape[1:], mats.dtype)], 0
+            )
+            shadow_impl = _shadow_vmem_impl
+        else:
+            cluster = jnp.concatenate(
+                [cluster_tris,
+                 jnp.zeros((1,) + cluster_tris.shape[1:],
+                           cluster_tris.dtype)], 0
+            )
+            shadow_impl = _shadow_pallas_impl
         blocked = shadow_impl(
-            rays8, cluster_tris, visits, counts, entries, interpret
+            rays8, cluster, visits, counts, entries, interpret
         )[:n] > 0
         t = jnp.where(blocked, 0.0, _BIG)
         tri = jnp.where(blocked, 0, -1)

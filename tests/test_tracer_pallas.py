@@ -66,11 +66,14 @@ def test_opaque_parity(seed, cull):
 
     np.testing.assert_array_equal(np.asarray(tri_ref), np.asarray(tri_k))
     hit = np.asarray(tri_ref) >= 0
+    # The kernel intersects via the Woop unit-triangle transform
+    # (t = -s_z/r_z) — algebraically identical to MT but rounded
+    # differently; measured max rel deviation ~3e-5 on these scenes.
     np.testing.assert_allclose(
-        np.asarray(t_ref)[hit], np.asarray(t_k)[hit], rtol=1e-5, atol=1e-5
+        np.asarray(t_ref)[hit], np.asarray(t_k)[hit], rtol=1e-4, atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(uv_ref)[hit], np.asarray(uv_k)[hit], rtol=1e-4, atol=1e-5
+        np.asarray(uv_ref)[hit], np.asarray(uv_k)[hit], rtol=1e-3, atol=1e-4
     )
     # The kernel-carried bias must equal the winner's scene bias (the
     # gather it replaces).
@@ -116,7 +119,7 @@ def test_shadow_parity(seed):
     blocked_ref = np.asarray(tri_ref) >= 0
 
     fn = tp.make_shadow_opaque_fn(interpret=True)
-    t_k, tri_k, _ = jax.jit(
+    t_k, tri_k, _, _ = jax.jit(
         lambda: fn(origins, dirs, t_min, t_max, scene)
     )()
     np.testing.assert_array_equal(blocked_ref, np.asarray(tri_k) >= 0)
