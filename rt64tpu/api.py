@@ -224,6 +224,7 @@ class Shader:
         self.combiner: CombinerParams = decode_combiner(shader_id)
         self.normal_map_enabled = bool(flags & d.SHADER_NORMAL_MAP_ENABLED)
         self.specular_map_enabled = bool(flags & d.SHADER_SPECULAR_MAP_ENABLED)
+        self.mip_lod_enabled = bool(flags & d.SHADER_MIP_LOD_ENABLED)
         self.raster_enabled = bool(flags & d.SHADER_RASTER_ENABLED)
         self.raytrace_enabled = bool(flags & d.SHADER_RAYTRACE_ENABLED)
         device._register_shader(self)

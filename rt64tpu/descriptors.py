@@ -66,6 +66,12 @@ SHADER_RASTER_ENABLED = 0x1
 SHADER_RAYTRACE_ENABLED = 0x2
 SHADER_NORMAL_MAP_ENABLED = 0x4
 SHADER_SPECULAR_MAP_ENABLED = 0x8
+# TPU extension (not in rt64.h): opt-in mip-mapped diffuse sampling
+# driven by Igehy ray differentials (Ray.hlsli:37-94). The reference
+# ships with its mip pass compiled out (rt64_device.cpp:758-762), so
+# every rt64.h flag combination keeps bilinear level-0 behavior; this
+# flag adds the minification filtering the reference never enabled.
+SHADER_MIP_LOD_ENABLED = 0x10
 
 # --- Instance flags (rt64.h:62-63) ---
 INSTANCE_RASTER_BACKGROUND = 0x1

@@ -51,6 +51,10 @@ def shade_hits(
     bary_v,  # (M,)
     noise_rand,  # (M,) per-pixel random for opt_noise
     shadow_variant: bool = False,
+    mip_args=None,  # (t (M,), d_ddx (3, M), d_ddy (3, M)) camera-ray
+    # differentials for ray-diff mip LOD on the diffuse fetch; only
+    # consulted when the scene statically has mip-enabled instances
+    # (ShadeFeatures.has_mips)
 ) -> HitShade:
     valid = tri >= 0
     tri_s = jnp.maximum(tri, 0)
@@ -116,6 +120,36 @@ def shade_hits(
     use_t0 = fl(R.F_USE_T0)
     ok_t0 = use_t0 & valid & (gt[R.T_TEX_D] >= 0.0)
     d_off, d_w, d_h = rec_cols(0)
+    feat = getattr(sb, "features", None)
+    if (mip_args is not None and feat is not None and feat.has_mips
+            and not shadow_variant):
+        # Ray-diff mip LOD (opt-in; Ray.hlsli:37-94 + the SampleGrad
+        # call the reference makes with its mips compiled out,
+        # rt64_shader.cpp:474-480). Nearest-level selection keeps the
+        # fetch at ONE pool gather; the quad entries already give the
+        # in-level bilinear.
+        from rt64tpu.ops import raydiff
+
+        t_hit, d_ddx, d_ddy = mip_args
+        uv0 = jnp.stack([gt[R.T_UV], gt[R.T_UV + 1]], 0)
+        uv1 = jnp.stack([gt[R.T_UV + 2], gt[R.T_UV + 3]], 0)
+        uv2 = jnp.stack([gt[R.T_UV + 4], gt[R.T_UV + 5]], 0)
+        duv_dx, duv_dy = raydiff.uv_differentials(
+            d_ddx, d_ddy, ray_dir, t_hit, e1, e2, tri_nrm, uv0, uv1, uv2
+        )
+        lod = raydiff.lod_from_duv(
+            duv_dx, duv_dy,
+            d_w.astype(jnp.float32), d_h.astype(jnp.float32),
+            max_level=float(tex_ops.MAX_MIP_LEVELS - 1),
+        )
+        level = jnp.where(
+            fl(R.F_MIP_LOD) & valid,
+            jnp.round(lod).astype(jnp.int32), jnp.int32(0),
+        )
+        d_off, d_w, d_h = tex_ops.mip_select(
+            d_off.astype(jnp.int32), d_w.astype(jnp.int32),
+            d_h.astype(jnp.int32), level,
+        )
     tex0 = tex_ops.sample_quad_cols(
         sb.quad_pool, d_off, d_w, d_h, ok_t0, uv_u, uv_v, filt, h_addr,
         v_addr,
@@ -139,7 +173,6 @@ def shade_hits(
     magenta = jnp.stack(
         [jnp.ones_like(u), jnp.zeros_like(u), jnp.ones_like(u), jnp.ones_like(u)], 0
     )
-    feat = getattr(sb, "features", None)
     if feat is not None and not feat.has_texel1:
         tex1 = magenta
     else:

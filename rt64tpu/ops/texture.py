@@ -25,6 +25,38 @@ ADDR_WRAP = 0
 ADDR_MIRROR = 1
 ADDR_CLAMP = 2
 
+# Mip chains (opt-in, SHADER_MIP_LOD_ENABLED): level l is laid out in
+# the pool right after level l-1's h*w entries, dims halving (floor,
+# min 1) until 1x1 or MAX_MIP_LEVELS — the layout pack_quad_pool bakes
+# (pipeline/scene_buffers.py) and mip_select reproduces arithmetically.
+MAX_MIP_LEVELS = 8
+
+
+def mip_select(offset, w, h, level):
+    """Per-lane (offset, w, h) of mip level `level` given the LEVEL-0
+    record fields. Pure unrolled arithmetic — no table, no gather: the
+    chain layout is deterministic, so level offsets derive from the
+    base record. Levels past the baked chain clamp to the last level.
+    offset/w/h: int32 arrays or scalars; level: (N,) int32 >= 0."""
+    offset = jnp.asarray(offset, jnp.int32)
+    cur_w = jnp.asarray(w, jnp.int32)
+    cur_h = jnp.asarray(h, jnp.int32)
+    acc = offset
+    out_off, out_w, out_h = offset, cur_w, cur_h
+    out_off = jnp.broadcast_to(out_off, level.shape)
+    out_w = jnp.broadcast_to(out_w, level.shape)
+    out_h = jnp.broadcast_to(out_h, level.shape)
+    for l in range(1, MAX_MIP_LEVELS):
+        has_level = (cur_w > 1) | (cur_h > 1)  # level l was baked
+        acc = acc + cur_w * cur_h
+        cur_w = jnp.maximum(cur_w >> 1, 1)
+        cur_h = jnp.maximum(cur_h >> 1, 1)
+        sel = (level >= l) & has_level
+        out_off = jnp.where(sel, acc, out_off)
+        out_w = jnp.where(sel, cur_w, out_w)
+        out_h = jnp.where(sel, cur_h, out_h)
+    return out_off, out_w, out_h
+
 
 def _remap(x, size, mode):
     """Apply addressing to the CONTINUOUS texel coordinate so the base

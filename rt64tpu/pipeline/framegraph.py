@@ -405,6 +405,7 @@ def _scatter_carry(full, comp, idx):
 def _fold_shaded_slots(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
     noise_rand, cfg, make_carry, slot_fn, cull_backface=True, aux=(),
+    mip_diffs=None,
 ):
     """Trace, then fold slot_fn front-to-back over the K+1 ordered hit
     slots (alpha..., opaque last).
@@ -429,6 +430,12 @@ def _fold_shaded_slots(
     Returns (carry, dropped): dropped counts candidate alpha rays
     beyond the compaction capacity — surfaced so the view can grow
     the capacity and re-specialize (view.py).
+
+    mip_diffs: optional (d_ddx, d_ddy) camera-ray differentials (3, N)
+    for ray-diff mip LOD — applied to the OPAQUE winner's diffuse fetch
+    only (alpha fringes keep bilinear level 0; their footprint is a few
+    texels and the compacted lanes drop the pixel correspondence the
+    differentials need).
     """
     n = dirs.shape[1]
     # Candidate rays after the per-triangle opaque-clamped alpha cull
@@ -460,6 +467,7 @@ def _fold_shaded_slots(
         sh = shade_ops.shade_hits(
             sb, tri_rows, dirs, tri_op, uv_op[:, 0], uv_op[:, 1],
             noise_rand,
+            mip_args=None if mip_diffs is None else (t_op, *mip_diffs),
         )
         return slot_fn(carry, sh, t_op, origins, dirs, aux), ac.dropped
 
@@ -485,6 +493,7 @@ def _fold_shaded_slots(
     sh = shade_ops.shade_hits(
         sb, tri_rows, dirs, hits.tri_op, hits.uv_op[:, 0],
         hits.uv_op[:, 1], noise_rand,
+        mip_args=None if mip_diffs is None else (hits.t_op, *mip_diffs),
     )._replace(tri=hits.tri_op)
     return slot_fn(carry, sh, hits.t_op, origins, dirs, aux), dropped
 
@@ -625,9 +634,33 @@ def primary_pass(
             st_inst, st_flow3, tl_stored, tl_tri, tl_pos, tl_nrm, tl_spec,
         )
 
+    mip_diffs = None
+    feat_mips = getattr(sb, "features", None)
+    if feat_mips is not None and feat_mips.has_mips:
+        # Camera-ray direction differentials (Ray.hlsli:40-49) for the
+        # opt-in mip LOD path; compiled out of stock scenes (has_mips
+        # is static). Like the reference (PrimaryRayGen.hlsl:36,59),
+        # the differentials use a cameraUVW-basis direction — it is
+        # parallel to the traced projI-basis dir but its scale is
+        # consistent with cameraU/cameraV, which computeRayDiffs'
+        # dot(d, r) terms require.
+        from rt64tpu.ops import raydiff
+
+        w_, h_ = cfg.rt_width, cfg.grid_height
+        ndx = ((pix[:, 0].astype(jnp.float32) + 0.5 + gp.pixel_jitter[0])
+               / w_) * 2.0 - 1.0
+        ndy = ((pix[:, 1].astype(jnp.float32) + 0.5 + gp.pixel_jitter[1])
+               / h_) * 2.0 - 1.0
+        nn = (gp.camera_u[:, None] * ndx[None]
+              + gp.camera_v[:, None] * ndy[None]
+              + gp.camera_w[:, None])
+        mip_diffs = raydiff.compute_ray_diffs(
+            nn, gp.camera_u, gp.camera_v, (float(w_), float(h_)),
+        )
     carry, alpha_dropped = _fold_shaded_slots(
         sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
         cfg.k_primary, noise_rand, cfg, make_carry, slot_body,
+        mip_diffs=mip_diffs,
     )
 
     (res_a, res_rgb, res_transparent, trans_lit_sum, lock_acc,

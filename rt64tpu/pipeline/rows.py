@@ -90,6 +90,7 @@ F_SPECULAR_MAP = 1 << 7
 F_NO_CULL = 1 << 8
 F_ALPHA_CLASS = 1 << 9
 F_HAS_LIGHTING = 1 << 10
+F_MIP_LOD = 1 << 11  # TPU extension: ray-diff mip LOD on the diffuse fetch
 
 # ---- triangle rows (world space; per frame, in-jit) ------------------------
 T_P0 = 0  # 3 world corner 0

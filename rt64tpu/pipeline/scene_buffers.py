@@ -54,6 +54,11 @@ class ShadeFeatures(NamedTuple):
     # False the whole shared-transparent-light machinery (its light
     # plan + 1xN shadow rays in the batched launch) compiles out.
     has_lit_transparent: bool = True
+    # Any instance opted into ray-diff mip LOD (SHADER_MIP_LOD_ENABLED,
+    # a TPU extension — the reference's mip pass is compiled out,
+    # rt64_device.cpp:758-762). Default False: the differential math
+    # and per-level offset selection compile out of every stock scene.
+    has_mips: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -127,7 +132,7 @@ class ScenePacker:
         self._geometry_key = None
         self._quad_key = None
         self._np: dict = {}
-        self._combo_ids: dict = {}  # (tex_id, h, v) -> record index
+        self._combo_ids: dict = {}  # (tex_id, h, v, mip) -> record index
         self.triangle_count = 0
 
     # -- texture quad pool ---------------------------------------------------
@@ -141,15 +146,21 @@ class ScenePacker:
             sh = inst.desc.shader
             if sh is None:
                 continue
-            for tex in (inst.desc.diffuse_texture, inst.desc.normal_texture,
-                        inst.desc.specular_texture, inst.desc.alt_texture):
+            # Only the diffuse fetch is mip-filtered (the ray-diff LOD
+            # drives tex0; normal/spec/alt maps stay level-0 like the
+            # reference's SampleGrad call sites, rt64_shader.cpp:474-545).
+            mip_diffuse = bool(getattr(sh, "mip_lod_enabled", False))
+            texes = (inst.desc.diffuse_texture, inst.desc.normal_texture,
+                     inst.desc.specular_texture, inst.desc.alt_texture)
+            for j, tex in enumerate(texes):
                 if tex is None:
                     continue
-                key = (id(tex), sh.h_addr, sh.v_addr)
+                mip = mip_diffuse and j == 0
+                key = (id(tex), sh.h_addr, sh.v_addr, mip)
                 if key not in seen:
                     seen.add(key)
-                    combos.append((tex, sh.h_addr, sh.v_addr))
-        key = tuple((id(t), h, v) for t, h, v in combos)
+                    combos.append((tex, sh.h_addr, sh.v_addr, mip))
+        key = tuple((id(t), h, v, mp) for t, h, v, mp in combos)
         if key == self._quad_key:
             return
         pool = np.zeros((lm.texel_pool, 4), np.uint32)
@@ -157,13 +168,27 @@ class ScenePacker:
         self._combo_ids = {}
         offset = 0
         rec = 0
-        for tex, h_addr, v_addr in combos:
-            n = tex.width * tex.height
+        for tex, h_addr, v_addr, mip in combos:
+            if mip:
+                from rt64tpu.ops.mipmaps import generate_mips
+                from rt64tpu.ops.texture import MAX_MIP_LEVELS
+
+                levels = generate_mips(tex.rgba, max_levels=MAX_MIP_LEVELS)
+            else:
+                levels = [tex.rgba]
+            n = sum(l.shape[0] * l.shape[1] for l in levels)
             if offset + n > lm.texel_pool or rec >= lm.max_textures:
                 raise ValueError("quad pool exhausted; grow SceneLimits")
-            pool[offset : offset + n] = build_quad_entries(tex.rgba, h_addr, v_addr)
+            # Chain layout contract (texture.mip_select): level l starts
+            # right after level l-1's h*w entries; dims halve (floor,
+            # min 1) per level until 1x1 or MAX_MIP_LEVELS.
+            o = offset
+            for lv in levels:
+                ln = lv.shape[0] * lv.shape[1]
+                pool[o : o + ln] = build_quad_entries(lv, h_addr, v_addr)
+                o += ln
             records[rec] = (offset, tex.width, tex.height)
-            self._combo_ids[(id(tex), h_addr, v_addr)] = rec
+            self._combo_ids[(id(tex), h_addr, v_addr, mip)] = rec
             offset += n
             rec += 1
         self._next_rec = rec
@@ -177,7 +202,8 @@ class ScenePacker:
         """Record id for a wrap/wrap env/sky texture (added on demand)."""
         if tex is None:
             return -1
-        key = (id(tex), d.SHADER_ADDRESSING_WRAP, d.SHADER_ADDRESSING_WRAP)
+        key = (id(tex), d.SHADER_ADDRESSING_WRAP, d.SHADER_ADDRESSING_WRAP,
+               False)
         if key in self._combo_ids:
             return self._combo_ids[key]
         n = tex.width * tex.height
@@ -374,18 +400,27 @@ class ScenePacker:
                 )
                 flags |= R.F_ALPHA_CLASS * self._alpha_class(sh, m)
                 flags |= R.F_HAS_LIGHTING * (m.light_group_mask_bits != 0)
+                flags |= R.F_MIP_LOD * (
+                    bool(getattr(sh, "mip_lod_enabled", False))
+                    and de.diffuse_texture is not None
+                )
                 irows[ii, R.I_FLAGS] = float(flags)
                 irows[ii, R.I_SAMPLER] = float(
                     sh.filter + 4 * sh.h_addr + 16 * sh.v_addr
                 )
                 irows[ii, R.I_INPUT_COUNT] = float(cc.input_count)
 
-                def rec_id(tex):
+                def rec_id(tex, mip=False):
                     if tex is None:
                         return -1
-                    return self._combo_ids.get((id(tex), sh.h_addr, sh.v_addr), -1)
+                    return self._combo_ids.get(
+                        (id(tex), sh.h_addr, sh.v_addr, mip), -1
+                    )
 
-                irows[ii, R.I_TEX_D] = rec_id(de.diffuse_texture)
+                irows[ii, R.I_TEX_D] = rec_id(
+                    de.diffuse_texture,
+                    bool(getattr(sh, "mip_lod_enabled", False)),
+                )
                 irows[ii, R.I_TEX_N] = rec_id(de.normal_texture)
                 irows[ii, R.I_TEX_S] = rec_id(de.specular_texture)
                 irows[ii, R.I_TEX_D2] = rec_id(de.alt_texture)
@@ -456,7 +491,7 @@ class ScenePacker:
             )
         # Static feature summary (ShadeFeatures docstring): what this
         # scene can trigger at all, computed host-side per frame.
-        has_nmap = has_smap = has_t1 = False
+        has_nmap = has_smap = has_t1 = has_mips = False
         for inst in instances[:I]:
             sh = inst.desc.shader
             if sh is None:
@@ -467,6 +502,9 @@ class ScenePacker:
                 has_smap = True
             if sh.combiner.use_textures[1] and inst.desc.alt_texture is not None:
                 has_t1 = True
+            if (getattr(sh, "mip_lod_enabled", False)
+                    and inst.desc.diffuse_texture is not None):
+                has_mips = True
         has_lit_tl = False
         for inst in instances[:I]:
             sh = inst.desc.shader
@@ -488,6 +526,7 @@ class ScenePacker:
             has_specular_maps=has_smap,
             has_texel1=has_t1,
             has_lit_transparent=has_lit_tl,
+            has_mips=has_mips,
         )
 
         return SceneBuffers(
