@@ -71,11 +71,13 @@ def get_params():
 
 @partial(jax.jit, static_argnums=(5, 6))
 def _run(params, rt_color, depth, flow, reactive, dh: int, dw: int):
-    up = filters.bilinear_resize(rt_color, dh, dw)
-    depth_d = filters.bilinear_resize(depth[None], dh, dw)
-    flow_d = filters.bilinear_resize(flow, dh, dw)
-    reactive_d = filters.bilinear_resize(reactive[None], dh, dw)
-    x = jnp.concatenate([up, depth_d, flow_d, reactive_d], axis=0)
+    # ONE stacked resize (separable-matmul bilinear_resize: channel
+    # count is nearly free on the MXU).
+    x = filters.bilinear_resize(
+        jnp.concatenate([rt_color, depth[None], flow, reactive[None]], 0),
+        dh, dw,
+    )
+    up = x[:3]
     x = jnp.moveaxis(x, 0, -1)  # conv wants HWC
     residual = _model.apply(params, x)
     return up + jnp.moveaxis(residual, -1, 0)

@@ -95,10 +95,13 @@ def temporal_accumulate(
     that trust unclamped history (the transparency-and-composition mask
     fed to FSR2 at rt64_fsr.cpp:132-166)."""
     h, w = rt_color.shape[1], rt_color.shape[2]
-    upscaled = filters.bilinear_resize(rt_color, dh, dw)
-    flow_d = filters.bilinear_resize(flow, dh, dw)
-    reactive_d = filters.bilinear_resize(reactive[None], dh, dw)[0]
-    lock_d = filters.bilinear_resize(lock[None], dh, dw)[0]
+    # ONE stacked resize for all four render-res inputs: the separable
+    # matmul form makes the channel count nearly free on the MXU.
+    res = filters.bilinear_resize(
+        jnp.concatenate([rt_color, flow, reactive[None], lock[None]], 0),
+        dh, dw,
+    )
+    upscaled, flow_d, reactive_d, lock_d = res[:3], res[3:5], res[5], res[6]
 
     yy = (jnp.arange(dh, dtype=jnp.float32) + 0.5) / dh
     xx = (jnp.arange(dw, dtype=jnp.float32) + 0.5) / dw
