@@ -58,34 +58,42 @@ def gaussian_3x3(img):
 
 
 def quad_pack_planar(img):
-    """(C, H, W) -> (4C, H*W): the image plus its +x, +y and +xy
-    neighbor planes (edge-clamped), flattened. Cheap elementwise
-    shifts; lets a bilinear fetch be ONE planar row gather (TPU
-    gathers cost per-row, not per-byte)."""
+    """(C, H, W) -> (H*W, 4C): per pixel, the channel values of itself
+    and its +x, +y, +xy neighbors (edge-clamped). Cheap elementwise
+    shifts; lets a bilinear fetch be ONE row gather (TPU gathers cost
+    per-row, not per-byte). ROW-major (pixels on the major axis) so the
+    gather reads rows directly — gathering columns of a (4C, N) layout
+    made XLA materialize a transposed copy of the result at display
+    scale."""
     c, h, w = img.shape
     xs = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
     ys = jnp.concatenate([img[:, 1:, :], img[:, -1:, :]], axis=1)
     xys = jnp.concatenate([ys[:, :, 1:], ys[:, :, -1:]], axis=2)
-    return jnp.concatenate([img, xs, ys, xys], 0).reshape(4 * c, h * w)
+    quad = jnp.concatenate([img, xs, ys, xys], 0).reshape(4 * c, h * w)
+    return quad.T
 
 
 def bilinear_quad(packed, c, h, w, su, sv):
     """Bilinear fetch from a quad-packed image (quad_pack_planar):
-    one (4C, N) planar gather + vector blend. Returns (C, N)."""
+    one (N, 4C) row gather + vector blend. Returns (C, N)."""
     x = jnp.clip(su * w - 0.5, 0.0, w - 1.0)
     y = jnp.clip(sv * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[None]
-    fy = (y - y0)[None]
-    g = packed[:, y0 * w + x0]  # (4C, N) — THE gather
-    p00, p10, p01, p11 = g[:c], g[c : 2 * c], g[2 * c : 3 * c], g[3 * c :]
-    return (
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    g = packed[y0 * w + x0]  # (N, 4C) — THE gather
+    p00 = g[:, :c]
+    p10 = g[:, c : 2 * c]
+    p01 = g[:, 2 * c : 3 * c]
+    p11 = g[:, 3 * c :]
+    out = (
         p00 * (1 - fx) * (1 - fy)
         + p10 * fx * (1 - fy)
         + p01 * (1 - fx) * fy
         + p11 * fx * fy
     )
+    return out.T
 
 
 def bilinear_planar(img, su, sv):
