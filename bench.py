@@ -278,6 +278,10 @@ def main():
     ap.add_argument("--ssim", action="store_true",
                     help="also report SSIM of the production frame vs a "
                          "native-res render (slow: two extra compiles)")
+    ap.add_argument("--streamed", action="store_true",
+                    help="host-driven production loop: per-frame descriptor "
+                         "pushes through ScenePacker.pack_frame + present, "
+                         "not device-chained (the reference's actual loop)")
     args = ap.parse_args()
 
     if args.config is None and args.scene is None and args.width is None:
@@ -326,13 +330,15 @@ def main():
     if args.native:
         ups, mode = "off", "auto"
 
-    fps, cfg = measure(args.scene, args.width, args.height, args.di, args.gi,
-                       args.reflections, args.frames, args.reps, ups, mode)
+    meas = measure_streamed if args.streamed else measure
+    fps, cfg = meas(args.scene, args.width, args.height, args.di, args.gi,
+                    args.reflections, args.frames, args.reps, ups, mode)
     mrays = rung_mrays(cfg.rt_width, cfg.rt_height, args.di, args.gi,
                        args.reflections, fps)
+    loop = "streamed " if args.streamed else ""
     out = {
-        "metric": f"fps@{args.width}x{args.height} (BASELINE config {config}: "
-                  f"{args.scene} scene, di={args.di} gi={args.gi} "
+        "metric": f"fps@{args.width}x{args.height} ({loop}BASELINE config "
+                  f"{config}: {args.scene} scene, di={args.di} gi={args.gi} "
                   f"refl={args.reflections}, {ups} "
                   f"{cfg.rt_width}x{cfg.rt_height} internal; "
                   f"{mrays:.0f} Mrays/s)",

@@ -56,16 +56,23 @@ _params = None
 def get_params():
     global _params
     if _params is None:
-        if os.path.exists(_PARAMS_CACHE):
-            flat = dict(np.load(_PARAMS_CACHE))
-            _params = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(
-                    _model.init(jax.random.PRNGKey(0), jnp.zeros((8, 8, 7)))
-                ),
-                [jnp.asarray(flat[k]) for k in sorted(flat)],
-            )
-        else:
-            _params = _model.init(jax.random.PRNGKey(0), jnp.zeros((8, 8, 7)))
+        # The fused frame path calls this DURING render_frame tracing
+        # (framegraph.py:1436); without ensure_compile_time_eval the
+        # first traced caller would cache tracers in the module global
+        # and every later trace would die on the leaked values.
+        with jax.ensure_compile_time_eval():
+            if os.path.exists(_PARAMS_CACHE):
+                flat = dict(np.load(_PARAMS_CACHE))
+                _params = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(
+                        _model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((8, 8, 7)))
+                    ),
+                    [jnp.asarray(flat[k]) for k in sorted(flat)],
+                )
+            else:
+                _params = _model.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((8, 8, 7)))
     return _params
 
 

@@ -111,6 +111,38 @@ def test_infrm_learned_upscaler_fused_path():
     assert view.framebuffer()[..., :3].std() > 5
 
 
+def test_learned_params_first_touch_inside_trace():
+    """get_params() is first called DURING render_frame tracing on the
+    fused DLSS path (framegraph.py:1436). The module-level cache must
+    hold concrete arrays, not the first trace's tracers — a leaked
+    cache makes every LATER trace die with UnexpectedTracerError (this
+    is exactly how benchmarks/upscaler_eval.py first failed)."""
+    import jax
+    import jax.numpy as jnp2
+    from rt64tpu.models import learned_upscaler as lu
+
+    saved = lu._params
+    lu._params = None
+    try:
+        @jax.jit
+        def first(x):
+            return x + jax.tree_util.tree_leaves(lu.get_params())[0].sum()
+
+        first(jnp2.zeros(()))
+
+        @jax.jit
+        def second(x):
+            return x * jax.tree_util.tree_leaves(lu.get_params())[0].sum()
+
+        second(jnp2.ones(()))  # dies here if the cache leaked tracers
+        assert not any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves(lu._params)
+        )
+    finally:
+        lu._params = saved
+
+
 def test_learned_upscaler_residual_start():
     """A freshly initialized CNN starts at (near) identity over
     bilinear (zero-init final conv); shipped trained params may
