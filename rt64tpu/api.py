@@ -386,6 +386,35 @@ class View:
             return active[idx]
         return None
 
+    def get_view_position(self) -> np.ndarray:
+        """View::getViewPosition: camera world position ([0,0,0,1] @
+        viewI in the row-vector convention)."""
+        return np.linalg.inv(self.view_matrix)[3, :3].astype(np.float32)
+
+    def get_view_direction(self) -> np.ndarray:
+        """View::getViewDirection: camera forward (-z row of viewI,
+        RH looking down -z)."""
+        d = -np.linalg.inv(self.view_matrix)[2, :3]
+        return (d / np.linalg.norm(d)).astype(np.float32)
+
+    def get_ray_direction_at(self, px: float, py: float) -> np.ndarray:
+        """View::getRayDirectionAt (rt64_view.cpp:1923-1930): cursor
+        pixel -> normalized world ray. Like the reference, the
+        unprojected far-plane target is NOT perspective-divided before
+        the w=0 view transform."""
+        from rt64tpu.ops import math3d
+
+        x = ((px + 0.5) / self.width) * 2.0 - 1.0
+        y = ((py + 0.5) / self.height) * 2.0 - 1.0
+        proj = math3d.perspective_fov_rh(
+            self.fov_radians, self.width / self.height,
+            self.near_dist, self.far_dist,
+        )
+        target = np.array([x, -y, 1.0, 1.0], np.float32) @ np.linalg.inv(proj)
+        view_i = np.linalg.inv(self.view_matrix)
+        d = target[:3] @ view_i[:3, :3]
+        return (d / np.linalg.norm(d)).astype(np.float32)
+
     def move_perspective(self, local_movement):
         """Inspector free-camera translate (rt64_view.cpp:1769-1773):
         offset in view-local axes applied to the view matrix."""
@@ -449,6 +478,7 @@ class Inspector:
         self.dump_path: Optional[str] = None
         self.show_light_gizmos = False  # Im3d light spheres analog
         self._dump_index = 0
+        self._gizmo_drag = None  # active light-gizmo drag state
         device.inspector = self
 
     def set_scene(self, scene_desc: d.SceneDesc):
@@ -480,6 +510,8 @@ class Inspector:
     #   camera move <dx> <dy> <dz>       -> View.move_perspective
     #   camera rotate <yaw> <pitch>      -> View.rotate_perspective
     #   gizmos on|off / dump <path>|off / print <msg>
+    #   gizmo press|drag <x> <y> / gizmo release   (interactive light
+    #       gizmos — see _gizmo_command below)
     #
     # Namespaces: material (set_material ref), scene (set_scene ref),
     # light.<i> (set_lights ref), view (every view's live params).
@@ -576,6 +608,8 @@ class Inspector:
         if op == "gizmos":
             self.show_light_gizmos = len(toks) > 1 and toks[1] == "on"
             return "OK"
+        if op == "gizmo":
+            return self._gizmo_command(toks[1:])
         if op == "dump":
             self.dump_path = None if (len(toks) < 2 or toks[1] == "off") else toks[1]
             return "OK"
@@ -624,6 +658,103 @@ class Inspector:
                 setattr(t, field, val)
             return "OK"
         raise ValueError(f"unknown op {op}")
+
+    # -- interactive light gizmos (Im3d::GizmoTranslation analog) ------------
+    #
+    # The reference's light editor attaches a translation gizmo to each
+    # light, driven by the cursor ray Im3d builds in setupWithView
+    # (rt64_inspector.cpp:324, 417-436). The headless analog is three
+    # commands a host feeds through RT64_HandleMessageInspector exactly
+    # like forwarded mouse messages:
+    #
+    #   gizmo press <x> <y>   -> pick the light whose gizmo sphere the
+    #                            cursor ray hits; reply "OK <i>"/"MISS"
+    #   gizmo drag  <x> <y>   -> translate the picked light in the
+    #                            camera-facing plane through its grab
+    #                            point (Im3d's center-ball drag);
+    #                            reply "OK <x> <y> <z>"
+    #   gizmo release         -> drop the selection
+    #
+    # Edits write through the registered light refs (ctypes proxies for
+    # ABI hosts), so the host's next setLights push renders the move —
+    # the same in-place mutation as Im3d writing &lights[i].position.x.
+    GIZMO_PICK_PIXELS = 8.0  # handle radius on screen, Im3d-style
+
+    def _gizmo_pick_radius(self, light, depth: float, view: "View") -> float:
+        """Gizmo handles keep constant SCREEN size (Im3d scales by
+        m_projScaleY * depth); pick radius is that handle size or the
+        light's point sphere, whichever is larger."""
+        import math as _m
+
+        world_per_px = (
+            2.0 * _m.tan(view.fov_radians * 0.5) * max(depth, 1e-6)
+            / view.height
+        )
+        return max(float(light.point_radius),
+                   self.GIZMO_PICK_PIXELS * world_per_px)
+
+    def _gizmo_command(self, toks) -> str:
+        views = self._views()
+        if not views:
+            raise ValueError("no views")
+        view = views[0]
+        if not toks:
+            raise ValueError("gizmo press|drag|release")
+        sub = toks[0]
+        if sub == "release":
+            self._gizmo_drag = None
+            return "OK"
+        if self.lights_ref is None:
+            raise ValueError("no lights registered")
+        lights, count, _ = self.lights_ref
+        x, y = float(toks[1]), float(toks[2])
+        eye = view.get_view_position()
+        ray = view.get_ray_direction_at(x, y)
+        if sub == "press":
+            best = None
+            for i in range(count):
+                c = np.asarray(lights[i].position, np.float32)
+                oc = c - eye
+                t = float(np.dot(oc, ray))  # closest approach along ray
+                if t <= 0.0:
+                    continue
+                miss2 = float(np.dot(oc, oc)) - t * t
+                r = self._gizmo_pick_radius(lights[i], t, view)
+                if miss2 <= r * r and (best is None or t < best[1]):
+                    best = (i, t)
+            if best is None:
+                self._gizmo_drag = None
+                return "MISS"
+            i, t = best
+            grab = eye + ray * t
+            self._gizmo_drag = {
+                "light": i,
+                "grab": grab,
+                # Drag plane faces the camera through the grab point
+                # (Im3d center-ball translation).
+                "normal": view.get_view_direction(),
+            }
+            return f"OK {i}"
+        if sub == "drag":
+            if self._gizmo_drag is None:
+                return "MISS"
+            st = self._gizmo_drag
+            denom = float(np.dot(ray, st["normal"]))
+            if abs(denom) < 1e-8:
+                return "MISS"
+            t = float(np.dot(st["grab"] - eye, st["normal"])) / denom
+            if t <= 0.0:
+                return "MISS"
+            new_grab = eye + ray * t
+            delta = new_grab - st["grab"]
+            li = lights[st["light"]]
+            li.position = tuple(
+                float(p) + float(dd)
+                for p, dd in zip(li.position, delta)
+            )
+            st["grab"] = new_grab
+            return "OK " + self._fmt(li.position)
+        raise ValueError(f"unknown gizmo op {sub}")
 
     def render(self):
         if self.show_light_gizmos:

@@ -183,6 +183,48 @@ def test_inspector_command_edits_change_next_frame():
     assert ins.command("list view").startswith("max_reflections")
 
 
+def test_inspector_gizmo_drag_moves_light_in_view_plane():
+    """Interactive light gizmo (Im3d::GizmoTranslation analog,
+    rt64_inspector.cpp:324 + the cursor ray from setupWithView):
+    pressing on a light's projected pixel selects it, dragging
+    translates it in the camera-facing plane (depth along the view
+    axis preserved), and edits write through the registered refs."""
+    import rt64tpu
+    from rt64tpu.ops import math3d
+
+    dev, scene, view = build_sample_scene(width=64, height=48)
+    ins = rt64tpu.Inspector(dev)
+    ins.set_lights(scene.lights, len(scene.lights), 16)
+
+    li = scene.lights[0]
+    # The sample scene's sun sits behind the camera; park it 10 units
+    # down the view axis so its gizmo is on screen.
+    eye = view.get_view_position()
+    fwd = view.get_view_direction()
+    li.position = tuple(float(v) for v in (eye + fwd * 10.0))
+    pos0 = np.asarray(li.position, np.float32)
+    proj = math3d.perspective_fov_rh(
+        view.fov_radians, view.width / view.height,
+        view.near_dist, view.far_dist,
+    )
+    clip = math3d.transform_points_h(pos0, view.view_matrix @ proj)
+    assert clip[3] > 0, "sample light must be in front of the camera"
+    sx = (0.5 + 0.5 * clip[0] / clip[3]) * view.width
+    sy = (0.5 - 0.5 * clip[1] / clip[3]) * view.height
+
+    assert ins.command("gizmo press 1 1") == "MISS"  # corner: no light
+    assert ins.command(f"gizmo press {sx:.1f} {sy:.1f}") == "OK 0"
+    rep = ins.command(f"gizmo drag {sx + 6:.1f} {sy:.1f}")
+    assert rep.startswith("OK "), rep
+    pos1 = np.asarray(li.position, np.float32)
+    assert np.linalg.norm(pos1 - pos0) > 1e-3  # it moved...
+    d0 = float(np.dot(pos0 - eye, fwd))
+    d1 = float(np.dot(pos1 - eye, fwd))
+    assert abs(d1 - d0) < 1e-2 * max(1.0, abs(d0))  # ...in the view plane
+    assert ins.command("gizmo release") == "OK"
+    assert ins.command("gizmo drag 10 10") == "MISS"
+
+
 def test_alpha_capacity_boost_converges():
     """Capacity auto-grow contract (view.py render): an overflowing
     alpha scene doubles the shade boost and must converge to zero
