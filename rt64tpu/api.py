@@ -334,7 +334,6 @@ class View:
         self.visualization_mode = d.VISUALIZATION_MODE_FINAL
         self._renderer = None
         self._framebuffer: Optional[np.ndarray] = None
-        self._last_outputs = None
         self._prev_view_matrix = self.view_matrix.copy()
         scene.views.append(self)
 
@@ -373,10 +372,16 @@ class View:
         return self._framebuffer
 
     def get_raytraced_instance_at(self, x: int, y: int) -> Optional[Instance]:
-        """GetViewRaytracedInstanceAt (rt64_view.cpp:1932-1998)."""
-        if self._last_outputs is None:
+        """GetViewRaytracedInstanceAt (rt64_view.cpp:1932-1998). The
+        instance-id readback happens HERE, at most once per presented
+        frame — the reference also copies the plane on demand
+        (rt64_view.cpp:1946-1981), so a host that never picks never
+        pays the transfer."""
+        if self._renderer is None:
             return None
-        inst_plane = np.asarray(self._last_outputs["instance_id"])
+        inst_plane = self._renderer.instance_plane()
+        if inst_plane is None:
+            return None
         rh, rw = inst_plane.shape
         rx = min(int(x * rw / self.width), rw - 1)
         ry = min(int(y * rh / self.height), rh - 1)

@@ -46,6 +46,9 @@ class ViewRenderer:
         self._prev_view_i = None
         self._last = None
         self._alpha_boost = 1
+        self._pick_src = None  # (FrameOutputs, cfg) of the presented frame
+        self._pick_plane = None  # cached on-demand picking readback
+        self._bg_cache = {}  # (h, w) -> device-resident zero plane
 
     # -- update: the View::update analog -----------------------------------
     def update(self):
@@ -89,17 +92,23 @@ class ViewRenderer:
     # -- render: the View::render analog ------------------------------------
     def render(self, delta_time_ms: float):
         view = self.view
-        # Compacted-shade capacity auto-grow: if the previous frame
-        # dropped alpha hits (shade_hits_compacted overflow), double the
-        # capacity boost and re-specialize — the capacity-bucket pattern
-        # (limits.py) instead of a per-slot runtime fallback (a lax.cond
-        # fence costs ~9 ms each on a 480p frame). The overflow frame
-        # itself rendered with the extra alpha layers missing; this
-        # corrects from the next frame on.
-        if self._last is not None:
+        # Compacted-shade capacity auto-grow: if the newest COMPLETED
+        # frame dropped alpha hits (shade_hits_compacted overflow),
+        # double the capacity boost and re-specialize — the
+        # capacity-bucket pattern (limits.py) instead of a per-slot
+        # runtime fallback (a lax.cond fence costs ~9 ms each on a 480p
+        # frame). The overflow frame itself rendered with the extra
+        # alpha layers missing; this corrects within two frames.
+        # Pipelined mode checks the frame whose present already
+        # synchronized (its drop scalar was prefetched at dispatch) —
+        # blocking on the IN-FLIGHT frame's scalar here serialized the
+        # host against the device and cost ~40 ms/frame over the
+        # tunneled transport.
+        drop_src = self._pick_src[0] if self._pick_src else None
+        if drop_src is not None:
             import numpy as _np
 
-            if int(_np.asarray(self._last.alpha_dropped)) > 0:
+            if int(_np.asarray(drop_src.alpha_dropped)) > 0:
                 self._alpha_boost = min(self._alpha_boost * 2, 16)
                 from rt64tpu.utils.log import breadcrumb
 
@@ -133,40 +142,76 @@ class ViewRenderer:
                 # otherwise recompile the frame).
                 self._temporal = jnp.zeros(shape, jnp.float32)
             temporal = self._temporal
-            gp = gp._replace(temporal_reset=jnp.bool_(fresh))
+            gp = gp._replace(temporal_reset=np.bool_(fresh))
         else:
             temporal = None
-        out = fn(self._sb, gp, self.history, self.bn_table, bg_planes,
-                 temporal)
+        out, present = fn(self._sb, gp, self.history, self.bn_table,
+                          bg_planes, temporal)
         self.history = out.history
         self._temporal = out.temporal
         self._last = out
-        img = out.image
 
         if self.pipelined:
-            # Present the PREVIOUS frame; leave this one in flight.
-            pending, self._pending = self._pending, (img, out, cfg)
+            # Present the PREVIOUS frame; leave this one in flight. The
+            # RGBA8 readback starts NOW (async) so it overlaps this
+            # frame's device time instead of stalling at np.asarray.
+            if hasattr(present, "copy_to_host_async"):
+                present.copy_to_host_async()
+                # Prefetch the overflow counter too: the capacity check
+                # reads it once this frame completes and presents.
+                out.alpha_dropped.copy_to_host_async()
+            pending, self._pending = self._pending, (present, out, cfg)
             if pending is None:
                 return
-            img, out, cfg = pending
-        arr = np.asarray(img)  # (3, DH, DW)
-        frame = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        frame = np.moveaxis(frame, 0, -1)  # (DH, DW, 3)
+            present, out, cfg = pending
+        # present is the device-packed (DH, DW, 3) uint8 frame — 1/5 the
+        # readback bytes of the old f32 path (the host<->device tunnel
+        # runs ~40 MB/s; the f32 image alone cost ~100 ms/frame).
+        frame = np.asarray(present)
         view._framebuffer = np.concatenate(
             [frame, np.full(frame.shape[:2] + (1,), 255, np.uint8)], axis=-1
         )
-        view._last_outputs = {
-            "instance_id": np.asarray(
+        # Picking readback is deferred until a host actually picks
+        # (instance_plane below) — the reference also copies the
+        # instance-id plane at most once per frame and only on demand
+        # (rt64_view.cpp:1946-1981).
+        self._pick_src = (out, cfg)
+        self._pick_plane = None
+
+    def instance_plane(self):
+        """(rt_h, rt_w) int32 instance-id plane of the presented frame,
+        fetched on demand and cached until the next present."""
+        if self._pick_src is None:
+            return None
+        if self._pick_plane is None:
+            out, cfg = self._pick_src
+            self._pick_plane = np.asarray(
                 fg.to_image(cfg, out.gbuffers.instance.astype(jnp.float32))
-            ).astype(np.int32),
-        }
+            ).astype(np.int32)
+        return self._pick_plane
 
     def _get_jitted(self, cfg, vis_mode):
         key = (cfg, vis_mode)
         fn = self._jitted.get(key)
         if fn is None:
+            def frame_and_present(sb, gp, hist, bn, bg, temporal):
+                out = fg.render_frame(
+                    sb, gp, hist, bn, bg, temporal, cfg=cfg,
+                    visualization_mode=vis_mode,
+                )
+                # Pack the presented RGBA8 frame ON DEVICE (same
+                # clip/round math the host used) so present reads back
+                # 1 byte/channel instead of 4.
+                rgb = jnp.clip(
+                    out.image * 255.0 + 0.5, 0.0, 255.0
+                ).astype(jnp.uint8)
+                # RGB only: the constant alpha plane is appended on the
+                # host (a ~1 ms memcpy) instead of riding the ~40 MB/s
+                # tunnel readback.
+                return out, jnp.transpose(rgb, (1, 2, 0))
+
             fn = jax.jit(
-                partial(fg.render_frame, cfg=cfg, visualization_mode=vis_mode),
+                frame_and_present,
                 # Donate temporal history AND the upscaler history: both
                 # are consumed and re-produced every frame.
                 donate_argnums=(2, 5),
@@ -249,38 +294,48 @@ class ViewRenderer:
         vd = view.desc
         denoiser = bool(vd.denoiser_enabled)
         f32 = np.float32
+        # HOST numpy leaves, not eager jnp arrays: each jnp.asarray is
+        # an eager device op (an RPC over the tunneled axon transport —
+        # ~27 of them cost ~9 ms/frame in the streamed loop). The jit
+        # call transfers numpy leaves itself with no per-leaf dispatch.
         return fg.GlobalParams(
-            view=jnp.asarray(vmat),
-            view_i=jnp.asarray(view_i.astype(f32)),
-            prev_view_i=jnp.asarray(prev_view_i.astype(f32)),
-            projection=jnp.asarray(proj),
-            projection_i=jnp.asarray(proj_i.astype(f32)),
-            view_proj=jnp.asarray(view_proj.astype(f32)),
-            prev_view_proj=jnp.asarray(prev_view_proj.astype(f32)),
-            camera_u=jnp.asarray(np.asarray(cam_u, f32)),
-            camera_v=jnp.asarray(np.asarray(cam_v, f32)),
-            camera_w=jnp.asarray(np.asarray(cam_w, f32)),
-            pixel_jitter=jnp.asarray(np.asarray(jitter, f32)),
-            ambient_base=jnp.asarray(np.asarray(desc.ambient_base_color, f32)),
-            ambient_no_gi=jnp.asarray(np.asarray(desc.ambient_no_gi_color, f32)),
-            eye_light_diffuse=jnp.asarray(np.asarray(desc.eye_light_diffuse_color, f32)),
-            eye_light_specular=jnp.asarray(np.asarray(desc.eye_light_specular_color, f32)),
-            sky_diffuse_mult=jnp.asarray(np.asarray(desc.sky_diffuse_multiplier, f32)),
-            sky_hsl_mod=jnp.asarray(np.asarray(desc.sky_hsl_modifier, f32)),
-            sky_yaw_offset=jnp.float32(desc.sky_yaw_offset),
-            gi_diffuse_strength=jnp.float32(desc.gi_diffuse_strength),
-            gi_sky_strength=jnp.float32(desc.gi_sky_strength),
-            motion_blur_strength=jnp.float32(vd.motion_blur_strength),
-            sky_plane_rec=jnp.int32(self._sky_rec),
-            frame_count=jnp.uint32(view.frame_count),
-            di_reproject=jnp.bool_(False),  # DI_REPROJECTION_SUPPORT undefined
-            gi_reproject=jnp.bool_(denoiser and vd.gi_samples > 0),
-            binary_lock_mask=jnp.bool_(vd.upscaler != d.UPSCALER_FSR),
+            view=vmat,
+            view_i=view_i.astype(f32),
+            prev_view_i=prev_view_i.astype(f32),
+            projection=proj,
+            projection_i=proj_i.astype(f32),
+            view_proj=view_proj.astype(f32),
+            prev_view_proj=prev_view_proj.astype(f32),
+            camera_u=np.asarray(cam_u, f32),
+            camera_v=np.asarray(cam_v, f32),
+            camera_w=np.asarray(cam_w, f32),
+            pixel_jitter=np.asarray(jitter, f32),
+            ambient_base=np.asarray(desc.ambient_base_color, f32),
+            ambient_no_gi=np.asarray(desc.ambient_no_gi_color, f32),
+            eye_light_diffuse=np.asarray(desc.eye_light_diffuse_color, f32),
+            eye_light_specular=np.asarray(desc.eye_light_specular_color, f32),
+            sky_diffuse_mult=np.asarray(desc.sky_diffuse_multiplier, f32),
+            sky_hsl_mod=np.asarray(desc.sky_hsl_modifier, f32),
+            sky_yaw_offset=np.float32(desc.sky_yaw_offset),
+            gi_diffuse_strength=np.float32(desc.gi_diffuse_strength),
+            gi_sky_strength=np.float32(desc.gi_sky_strength),
+            motion_blur_strength=np.float32(vd.motion_blur_strength),
+            sky_plane_rec=np.int32(self._sky_rec),
+            frame_count=np.uint32(view.frame_count),
+            di_reproject=np.bool_(False),  # DI_REPROJECTION_SUPPORT undefined
+            gi_reproject=np.bool_(denoiser and vd.gi_samples > 0),
+            binary_lock_mask=np.bool_(vd.upscaler != d.UPSCALER_FSR),
         )
 
     def _background_planes(self, cfg):
         """Base plane the in-frame raster-background pass composites
         onto (rt64_view.cpp:1292-1319; raster happens inside
         render_frame — framegraph.py raster.rasterize call). Black base,
-        planar (3, H, W)."""
-        return jnp.zeros((3, cfg.rt_height, cfg.rt_width), jnp.float32)
+        planar (3, H, W); cached device-resident (read-only input, never
+        donated) so a streamed loop doesn't re-allocate it per frame."""
+        key = (cfg.rt_height, cfg.rt_width)
+        bg = self._bg_cache.get(key)
+        if bg is None:
+            bg = jnp.zeros((3,) + key, jnp.float32)
+            self._bg_cache[key] = bg
+        return bg
