@@ -26,7 +26,11 @@ class SceneLimits:
     max_vertices: int = 1 << 14
     max_triangles: int = 1 << 13
     max_instances: int = 64
-    max_lights: int = 16  # MAX_LIGHTS in Lights.hlsli:24
+    # Light BUFFER capacity bucket (grows by fit(), floor 2). Distinct
+    # from MAX_LIGHTS=16, the per-pixel selection cap (Lights.hlsli:24):
+    # every light-selection op is (L, N) over the padded buffer, so a
+    # 2-light scene padded to 16 paid 8x the selection bandwidth.
+    max_lights: int = 2
     max_textures: int = 64
     texel_pool: int = 1 << 20  # RGBA8 texels in the atlas pool
     max_hit_queries: int = 16  # MAX_HIT_QUERIES (GlobalHitBuffers.hlsli:8)

@@ -111,6 +111,12 @@ def temporal_accumulate(
     pu = su + flow_d[0] / w
     pv = sv + flow_d[1] / h
     oob = (pu < 0.0) | (pu > 1.0) | (pv < 0.0) | (pv > 1.0)
+    # NOTE: the history gather must stay f32 — this is a FEEDBACK loop
+    # (the output becomes next frame's history), and bf16 storage's
+    # 0.4% rounding compounds through the (1-alpha) recurrence into a
+    # visible drift of the static-scene fixed point
+    # (test_temporal_accumulate_converges). One-shot gathers (motion
+    # blur taps) can compress; this one cannot.
     reprojected = filters.bilinear_planar(
         history_color, jnp.clip(pu, 0.0, 1.0).reshape(-1),
         jnp.clip(pv, 0.0, 1.0).reshape(-1),

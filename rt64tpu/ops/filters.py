@@ -57,19 +57,26 @@ def gaussian_3x3(img):
     return taps(pad) / jnp.maximum(taps(ones), 1e-12)
 
 
-def quad_pack_planar(img):
+def quad_pack_planar(img, dtype=None):
     """(C, H, W) -> (H*W, 4C): per pixel, the channel values of itself
     and its +x, +y, +xy neighbors (edge-clamped). Cheap elementwise
     shifts; lets a bilinear fetch be ONE row gather (TPU gathers cost
     per-row, not per-byte). ROW-major (pixels on the major axis) so the
     gather reads rows directly — gathering columns of a (4C, N) layout
     made XLA materialize a transposed copy of the result at display
-    scale."""
+    scale.
+
+    dtype (e.g. jnp.bfloat16) compresses the packed STORAGE — halving
+    the gathered row bytes for color-like data; bilinear_quad blends in
+    f32 either way (bf16's 0.4% relative step is below the 8-bit output
+    quantum for display-range colors)."""
     c, h, w = img.shape
     xs = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
     ys = jnp.concatenate([img[:, 1:, :], img[:, -1:, :]], axis=1)
     xys = jnp.concatenate([ys[:, :, 1:], ys[:, :, -1:]], axis=2)
     quad = jnp.concatenate([img, xs, ys, xys], 0).reshape(4 * c, h * w)
+    if dtype is not None:
+        quad = quad.astype(dtype)
     return quad.T
 
 
@@ -163,7 +170,9 @@ def motion_blur(output, flow_img, resolution_xy, strength, samples: int):
         step = strength / samples
         start_u = su - flow_u * (strength * 0.5)
         start_v = sv - flow_v * (strength * 0.5)
-        packed = quad_pack_planar(output)  # once, outside the tap loop
+        # Packed once, outside the tap loop; bf16 storage halves the
+        # display-res gather bytes per tap (color-only data).
+        packed = quad_pack_planar(output, jnp.bfloat16)
 
         def body(s, acc):
             sf = s.astype(jnp.float32) * step

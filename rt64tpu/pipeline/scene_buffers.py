@@ -331,7 +331,7 @@ class ScenePacker:
         n_act = min(len(instances), I)
         tfs = np.empty((n_act, 4, 4), np.float32)
         ptfs = np.empty((n_act, 4, 4), np.float32)
-        elig_n = min(len(lgroups), R.MAX_ELIG_LIGHTS, lm.max_lights)
+        elig_n = min(len(lgroups), R.MAX_ELIG_LIGHTS)
         epoch = (
             tuple(int(g) for g in lgroups[:elig_n]),
             id(self._np.get("quad_records")),
@@ -476,7 +476,14 @@ class ScenePacker:
             vals[~ok] = 0.0
             irows[:, dst] = vals
 
-        L = lm.max_lights
+        # Light buffer capacity derives from the ACTUAL light count,
+        # bucketed (powers of two from the limits floor) so the shape —
+        # and hence the jit program — only changes when the count
+        # crosses a bucket. Every selection op is (L, N); padding a
+        # 2-light scene to MAX_LIGHTS=16 paid 8x the bandwidth.
+        from rt64tpu.limits import _next_bucket
+
+        L = _next_bucket(max(len(larr), 1), lm.max_lights)
         lights = np.zeros((L, LIGHT_WIDTH), np.float32)
         count = min(len(larr), L)
         lights[:count] = larr[:count, :LIGHT_WIDTH]
