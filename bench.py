@@ -99,9 +99,8 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
     scaling = (cfg.display_height, cfg.display_width) != (
         cfg.rt_height, cfg.rt_width
     )
-    carries_temporal = scaling and cfg.upscaler in (
-        d.UPSCALER_FSR, d.UPSCALER_AUTO
-    )
+    tch = _ups_channels = __import__("rt64tpu.models.upscaler", fromlist=["x"]).temporal_channels(cfg.upscaler)
+    carries_temporal = scaling and tch > 0
     # Per-frame globals INSIDE the scan: frame_count drives every noise
     # fetch and the jitter phase advances like a real host loop. A
     # constant gp makes the whole render loop-invariant — XLA hoists it
@@ -113,7 +112,8 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
     from rt64tpu.models import upscaler as _ups
 
     if cfg.upscaler != d.UPSCALER_OFF:
-        phases = _ups.jitter_phase_count(cfg.rt_width, cfg.display_width)
+        phases = _ups.jitter_phase_count(cfg.rt_width, cfg.display_width,
+                                         upscaler=cfg.upscaler)
         jit_tab = np.stack(
             [np.asarray(_m3.halton_jitter(f, phases), np.float32)
              for f in range(frames)]

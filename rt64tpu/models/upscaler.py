@@ -33,6 +33,19 @@ QUALITY_SCALE = {
     d.UPSCALER_MODE_NATIVE: 1.0,
 }
 
+# XeSS publishes its own quality->input-resolution policy
+# (xessGetInputResolution, rt64_xess.cpp:94-124): UltraQuality is a
+# 1.3x ratio (not FSR's forced 77%), and UltraPerformance/Native are
+# forced 1/3 and 1:1 by the reference itself (rt64_xess.cpp:103-111).
+XESS_QUALITY_SCALE = {
+    d.UPSCALER_MODE_ULTRA_PERFORMANCE: 1.0 / 3.0,
+    d.UPSCALER_MODE_PERFORMANCE: 1.0 / 2.0,
+    d.UPSCALER_MODE_BALANCED: 1.0 / 1.7,
+    d.UPSCALER_MODE_QUALITY: 1.0 / 1.5,
+    d.UPSCALER_MODE_ULTRA_QUALITY: 1.0 / 1.3,
+    d.UPSCALER_MODE_NATIVE: 1.0,
+}
+
 
 def quality_auto(display_width: int, display_height: int) -> int:
     """getQualityAuto thresholds (rt64_upscaler.cpp:11-36)."""
@@ -48,7 +61,8 @@ def quality_auto(display_width: int, display_height: int) -> int:
     return d.UPSCALER_MODE_ULTRA_PERFORMANCE
 
 
-def quality_resolution(quality: int, display_width: int, display_height: int):
+def quality_resolution(quality: int, display_width: int, display_height: int,
+                       upscaler: int = d.UPSCALER_FSR):
     """getQualityInformation analog: render resolution for a mode.
 
     TPU divergence (documented): the render resolution snaps to the
@@ -61,7 +75,9 @@ def quality_resolution(quality: int, display_width: int, display_height: int):
     """
     if quality == d.UPSCALER_MODE_AUTO:
         quality = quality_auto(display_width, display_height)
-    scale = QUALITY_SCALE[quality]
+    table = (XESS_QUALITY_SCALE if upscaler == d.UPSCALER_XESS
+             else QUALITY_SCALE)
+    scale = table[quality]
     rw = max(1, int(display_width * scale))
     rh = max(1, int(display_height * scale))
     if quality != d.UPSCALER_MODE_NATIVE:
@@ -72,10 +88,26 @@ def quality_resolution(quality: int, display_width: int, display_height: int):
     return rw, rh
 
 
-def jitter_phase_count(render_width: int, display_width: int) -> int:
-    """ffxFsr2GetJitterPhaseCount: ceil(8 * (display/render)^2)."""
+def jitter_phase_count(render_width: int, display_width: int,
+                       upscaler: int = d.UPSCALER_FSR) -> int:
+    """FSR: ffxFsr2GetJitterPhaseCount = ceil(8 * (display/render)^2).
+    DLSS and XeSS report a fixed 64-phase sequence (rt64_dlss.cpp:
+    189-191; rt64_xess.cpp:126-130 adopts the same count)."""
+    if upscaler in (d.UPSCALER_DLSS, d.UPSCALER_XESS):
+        return 64
     ratio = display_width / max(render_width, 1)
     return max(1, int(math.ceil(8.0 * ratio * ratio)))
+
+
+def temporal_channels(upscaler: int) -> int:
+    """Channel count of the donated display-res temporal state: the
+    FSR slot carries color only; the XeSS slot also carries depth for
+    its disocclusion test; the learned (DLSS) slot is stateless."""
+    if upscaler in (d.UPSCALER_FSR, d.UPSCALER_AUTO):
+        return 3
+    if upscaler == d.UPSCALER_XESS:
+        return 4
+    return 0
 
 
 @partial(jax.jit, static_argnums=(6, 7))
@@ -136,6 +168,68 @@ def temporal_accumulate(
     alpha = jnp.clip(0.1 + reactive_d * 0.8, 0.1, 0.9)[None]
     alpha = jnp.where(oob[None] | reset, 1.0, alpha)
     return hist * (1.0 - alpha) + upscaled * alpha
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def xess_accumulate(
+    history,  # (4, DH, DW): rgb + depth of the previous OUTPUT
+    rt_color,  # (3, H, W) current render-res frame
+    depth,  # (H, W) current render-res screen depth
+    flow,  # (2, H, W) motion in render pixels
+    responsive,  # (H, W) responsive-pixel mask (reactive)
+    reset,  # () bool — resetHistory (rt64_xess.cpp:144)
+    dh: int,
+    dw: int,
+):
+    """The XeSS-slot backend — a third, architecturally distinct
+    upscaler (vs the FSR slot's color-clamp accumulator and the DLSS
+    slot's CNN), consuming exactly the inputs the reference feeds
+    xessD3D12Execute (rt64_xess.cpp:132-152): color, velocity, DEPTH,
+    and the responsive-pixel mask.
+
+      * spatial: Catmull-Rom (4-tap cubic) upsample of the current
+        frame — sharper single-frame detail than bilinear at the same
+        separable-matmul cost (filters.bilinear_resize kernel arg)
+      * temporal: history reprojected via flow and validated by a
+        DEPTH disocclusion test (XeSS's inputs are depth-driven; the
+        FSR slot instead clamps against the color neighborhood)
+      * responsive pixels bias the blend toward the current frame
+        (XESS responsive mask semantics)
+    """
+    h, w = rt_color.shape[1], rt_color.shape[2]
+    # Cubic kernels overshoot at edges; clamp so the history never
+    # accumulates negative energy.
+    cur = jnp.maximum(
+        filters.bilinear_resize(rt_color, dh, dw, kernel="catmull"), 0.0
+    )
+    aux = filters.bilinear_resize(
+        jnp.concatenate([depth[None], flow, responsive[None]], 0), dh, dw,
+    )
+    depth_d, flow_d, resp_d = aux[0], aux[1:3], aux[3]
+
+    yy = (jnp.arange(dh, dtype=jnp.float32) + 0.5) / dh
+    xx = (jnp.arange(dw, dtype=jnp.float32) + 0.5) / dw
+    su = jnp.broadcast_to(xx[None, :], (dh, dw))
+    sv = jnp.broadcast_to(yy[:, None], (dh, dw))
+    pu = su + flow_d[0] / w
+    pv = sv + flow_d[1] / h
+    oob = (pu < 0.0) | (pu > 1.0) | (pv < 0.0) | (pv > 1.0)
+    reproj = filters.bilinear_planar(
+        history, jnp.clip(pu, 0.0, 1.0).reshape(-1),
+        jnp.clip(pv, 0.0, 1.0).reshape(-1),
+    ).reshape(4, dh, dw)
+    hist_rgb, hist_depth = reproj[:3], reproj[3]
+
+    # Depth disocclusion: the surface seen last frame at the
+    # reprojected position must match this frame's depth, else the
+    # history belongs to a different surface.
+    disoccluded = jnp.abs(hist_depth - depth_d) > (
+        0.02 * jnp.maximum(depth_d, 1e-3) + 1e-4
+    )
+    alpha = jnp.clip(0.1 + resp_d * 0.8, 0.1, 0.9)
+    alpha = jnp.where(disoccluded | oob | reset, 1.0, alpha)[None]
+    out = hist_rgb * (1.0 - alpha) + cur * alpha
+    return out, jnp.concatenate([out, depth_d[None]], 0)
 
 
 def temporal_upscale_step(temporal_history, frame_out, cfg):

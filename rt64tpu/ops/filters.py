@@ -117,36 +117,50 @@ def _uv_grid(h, w):
     return su, sv
 
 
-def _resize_weights(n_out: int, n_in: int):
-    """(n_out, n_in) bilinear interpolation matrix for the fixed
-    (i + 0.5) / n_out grid — identical weights to bilinear_quad's
-    clip/floor/frac math on that grid."""
+def _resize_weights(n_out: int, n_in: int, kernel: str = "bilinear"):
+    """(n_out, n_in) interpolation matrix for the fixed
+    (i + 0.5) / n_out grid. "bilinear" matches bilinear_quad's
+    clip/floor/frac math on that grid; "catmull" is the 4-tap
+    Catmull-Rom cubic (sharper upsamples — the XeSS-slot spatial
+    kernel), edge-clamped and renormalized at the borders."""
     import numpy as np
 
     x = (np.arange(n_out, dtype=np.float64) + 0.5) / n_out * n_in - 0.5
     x = np.clip(x, 0.0, n_in - 1.0)
     x0 = np.floor(x).astype(np.int64)
-    x1 = np.minimum(x0 + 1, n_in - 1)
     f = (x - x0).astype(np.float32)
     m = np.zeros((n_out, n_in), np.float32)
-    np.add.at(m, (np.arange(n_out), x0), 1.0 - f)
-    np.add.at(m, (np.arange(n_out), x1), f)
+    rows = np.arange(n_out)
+    if kernel == "bilinear":
+        x1 = np.minimum(x0 + 1, n_in - 1)
+        np.add.at(m, (rows, x0), 1.0 - f)
+        np.add.at(m, (rows, x1), f)
+        return m
+    assert kernel == "catmull", kernel
+    # Catmull-Rom: w(-1..2) over taps x0-1..x0+2 as polynomials in f.
+    w_m1 = 0.5 * (-f + 2.0 * f * f - f * f * f)
+    w_0 = 0.5 * (2.0 - 5.0 * f * f + 3.0 * f * f * f)
+    w_p1 = 0.5 * (f + 4.0 * f * f - 3.0 * f * f * f)
+    w_p2 = 0.5 * (-f * f + f * f * f)
+    for off, wv in ((-1, w_m1), (0, w_0), (1, w_p1), (2, w_p2)):
+        np.add.at(m, (rows, np.clip(x0 + off, 0, n_in - 1)), wv)
     return m
 
 
-def bilinear_resize(img, out_h: int, out_w: int):
-    """Bilinear blit on the fixed output grid. img: (C, H, W).
+def bilinear_resize(img, out_h: int, out_w: int, kernel: str = "bilinear"):
+    """Fixed-output-grid blit. img: (C, H, W).
 
     Separable matmul form: resize = R @ img @ C^T with static banded
     weight matrices — the fixed-grid special case needs no gather at
     all, and the two small matmuls ride the MXU (measured ~4x cheaper
     than the quad-pack gather at 480p->640p scale; gathers cost
-    per-row on TPU)."""
+    per-row on TPU). kernel="catmull" swaps the weights for the 4-tap
+    Catmull-Rom cubic at identical op structure."""
     c, h, w = img.shape
     if (out_h, out_w) == (h, w):
         return img
-    rm = jnp.asarray(_resize_weights(out_h, h))  # (OH, H)
-    cm = jnp.asarray(_resize_weights(out_w, w))  # (OW, W)
+    rm = jnp.asarray(_resize_weights(out_h, h, kernel))  # (OH, H)
+    cm = jnp.asarray(_resize_weights(out_w, w, kernel))  # (OW, W)
     t = jnp.einsum("oh,chw->cow", rm, img, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum(
         "cow,pw->cop", t, cm, precision=jax.lax.Precision.HIGHEST

@@ -719,6 +719,12 @@ def primary_pass(
 
     # Background blend (PrimaryRayGen.hlsl:183-185).
     res_rgb = res_rgb + bg_color * res_a[None]
+    # NOTE (measured): storing the color-like planes as bf16 here
+    # showed NO win on castle config 2 (30.9 fps vs 30.6-32.7 f32
+    # across repeat runs — inside the bench's ~7% run-to-run noise).
+    # The cast fusions and per-consumer upcasts eat the saved HBM
+    # bytes at this pass count; plane traffic is spread across many
+    # small fusions, not concentrated in G-buffer re-reads.
     g = GBuffers(
         view_dir=dirs,
         position=st_pos,
@@ -1429,7 +1435,23 @@ def render_frame(
             cfg.display_height, cfg.display_width,
         )
         new_temporal = disp
-    elif scaling and cfg.upscaler in (d.UPSCALER_DLSS, d.UPSCALER_XESS):
+    elif scaling and cfg.upscaler == d.UPSCALER_XESS:
+        from rt64tpu.models import upscaler as ups
+
+        temporal_in = (
+            temporal if temporal is not None
+            else jnp.zeros((4, cfg.display_height, cfg.display_width))
+        )
+        reset = (
+            gp.temporal_reset if gp.temporal_reset is not None
+            else jnp.bool_(temporal is None)
+        )
+        disp, new_temporal = ups.xess_accumulate(
+            temporal_in, rt_rgb, to_image(cfg, g.depth),
+            to_image(cfg, g.flow), to_image(cfg, g.reactive), reset,
+            cfg.display_height, cfg.display_width,
+        )
+    elif scaling and cfg.upscaler == d.UPSCALER_DLSS:
         from rt64tpu.models import learned_upscaler as lus
 
         disp = lus._run(

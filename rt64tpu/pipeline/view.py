@@ -123,18 +123,16 @@ class ViewRenderer:
 
         fn = self._get_jitted(cfg, view.visualization_mode)
         bg_planes = self._background_planes(cfg)
-        # The temporal-upscaler history (FSR slot) is donated device
-        # state inside the jitted frame — no host round-trip between
-        # render and upscale (the reference's production internal-res
-        # path, rt64_view.cpp:114-141, 1584-1618).
+        # The temporal-upscaler history (FSR/XeSS slots) is donated
+        # device state inside the jitted frame — no host round-trip
+        # between render and upscale (the reference's production
+        # internal-res path, rt64_view.cpp:114-141, 1584-1618).
         scaling = (cfg.display_height, cfg.display_width) != (
             cfg.rt_height, cfg.rt_width
         )
-        needs_temporal = scaling and cfg.upscaler in (
-            d.UPSCALER_FSR, d.UPSCALER_AUTO
-        )
-        if needs_temporal:
-            shape = (3, cfg.display_height, cfg.display_width)
+        tch = ups.temporal_channels(cfg.upscaler)
+        if scaling and tch:
+            shape = (tch, cfg.display_height, cfg.display_width)
             fresh = self._temporal is None or self._temporal.shape != shape
             if fresh:
                 # Fresh history: zeros + resetAccumulation, so frame 0
@@ -224,7 +222,8 @@ class ViewRenderer:
         vd = view.desc
         dw, dh = view.width, view.height
         if vd.upscaler != d.UPSCALER_OFF:
-            rw, rh = ups.quality_resolution(vd.upscaler_mode, dw, dh)
+            rw, rh = ups.quality_resolution(vd.upscaler_mode, dw, dh,
+                                            upscaler=vd.upscaler)
         else:
             rw = max(1, int(dw * vd.resolution_scale))
             rh = max(1, int(dh * vd.resolution_scale))
@@ -286,7 +285,9 @@ class ViewRenderer:
         )
         # Jitter only while an upscaler runs (rt64_view.cpp:1273-1281).
         if view.desc.upscaler != d.UPSCALER_OFF:
-            phases = ups.jitter_phase_count(cfg.rt_width, cfg.display_width)
+            phases = ups.jitter_phase_count(
+                cfg.rt_width, cfg.display_width, upscaler=cfg.upscaler
+            )
             jitter = math3d.halton_jitter(view.frame_count, phases)
         else:
             jitter = (0.0, 0.0)

@@ -111,6 +111,84 @@ def test_infrm_learned_upscaler_fused_path():
     assert view.framebuffer()[..., :3].std() > 5
 
 
+def test_xess_tables_and_phases():
+    # XeSS publishes its own quality ladder (rt64_xess.cpp:94-124):
+    # UltraQuality is a 1.3x ratio, not FSR's forced 77%.
+    wf, _ = ups.quality_resolution(d.UPSCALER_MODE_ULTRA_QUALITY, 1000, 500)
+    wx, _ = ups.quality_resolution(d.UPSCALER_MODE_ULTRA_QUALITY, 1000, 500,
+                                   upscaler=d.UPSCALER_XESS)
+    assert wf == 768 and wx == 768  # same after tile snap at this size
+    wx, hx = ups.quality_resolution(d.UPSCALER_MODE_ULTRA_QUALITY, 2000, 1000,
+                                    upscaler=d.UPSCALER_XESS)
+    assert (wx, hx) == (1536, 768)  # 2000/1.3=1538 -> snap 1536
+    # DLSS and XeSS report 64 jitter phases (rt64_dlss.cpp:189-191,
+    # rt64_xess.cpp:126-130); FSR keeps the ffx formula.
+    assert ups.jitter_phase_count(960, 1920, d.UPSCALER_XESS) == 64
+    assert ups.jitter_phase_count(960, 1920, d.UPSCALER_DLSS) == 64
+    assert ups.jitter_phase_count(960, 1920, d.UPSCALER_FSR) == 32
+
+
+def test_xess_accumulate_reset_static_and_disocclusion():
+    from rt64tpu.ops import filters
+
+    h, w, dh, dw = 8, 8, 16, 16
+    rng = np.random.default_rng(1)
+    rt = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    depth = jnp.full((h, w), 0.5)
+    flow = jnp.zeros((2, h, w))
+    resp = jnp.zeros((h, w))
+    hist = jnp.zeros((4, dh, dw))
+    out, new_hist = ups.xess_accumulate(hist, rt, depth, flow, resp,
+                                        jnp.bool_(True), dh, dw)
+    # Reset frame == (clamped) Catmull-Rom upsample; history carries
+    # the output plus the display-res depth.
+    want = np.maximum(
+        np.asarray(filters.bilinear_resize(rt, dh, dw, kernel="catmull")),
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+    assert new_hist.shape == (4, dh, dw)
+    np.testing.assert_allclose(np.asarray(new_hist[3]), 0.5, atol=1e-5)
+    # Static scene: stable fixed point (no drift).
+    prev, ph = out, new_hist
+    for _ in range(8):
+        prev, ph = ups.xess_accumulate(ph, rt, depth, flow, resp,
+                                       jnp.bool_(False), dh, dw)
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(out), atol=1e-3)
+    # Depth disocclusion: history whose depth disagrees is rejected —
+    # the output snaps to the current frame there.
+    bad_hist = ph.at[3].set(0.9).at[:3].set(0.0)  # stale black history
+    out2, _ = ups.xess_accumulate(bad_hist, rt, depth, flow, resp,
+                                  jnp.bool_(False), dh, dw)
+    np.testing.assert_allclose(np.asarray(out2), want, atol=1e-6)
+
+
+def test_infrm_xess_fused_path_distinct_from_fsr():
+    """The XeSS slot is a real THIRD backend: depth-validated temporal
+    reprojection + Catmull-Rom spatial kernel, fused in-jit with a
+    4-channel donated history — and its output differs from both the
+    FSR slot and the learned slot on the same scene."""
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    frames = {}
+    for name, upscaler in (("xess", d.UPSCALER_XESS),
+                           ("fsr", d.UPSCALER_FSR)):
+        dev, scene, view = build_sample_scene(
+            width=128, height=96, gi_samples=0, upscaler=upscaler,
+        )
+        view.desc.upscaler_mode = d.UPSCALER_MODE_PERFORMANCE
+        for _ in range(2):
+            dev.draw()
+        r = view._renderer
+        assert r._last.image.shape == (3, 96, 128)
+        frames[name] = np.asarray(view.framebuffer()[..., :3], np.float32)
+        if name == "xess":
+            assert r._last.temporal is not None
+            assert r._last.temporal.shape == (4, 96, 128)
+    assert frames["xess"].std() > 5
+    assert np.abs(frames["xess"] - frames["fsr"]).mean() > 0.05
+
+
 def test_learned_params_first_touch_inside_trace():
     """get_params() is first called DURING render_frame tracing on the
     fused DLSS path (framegraph.py:1436). The module-level cache must
