@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--gi", type=int, default=0)
     ap.add_argument("--reflections", type=int, default=0)
     ap.add_argument("--pattern", default="gather")
+    ap.add_argument("--upscaler", type=int, default=0)
     args = ap.parse_args()
 
     from rt64tpu.utils.castle_scene import build_castle_scene
@@ -28,6 +29,8 @@ def main():
     dev, scene, view = build_castle_scene(
         width=args.width, height=args.height, gi_samples=args.gi)
     view.max_reflections = args.reflections
+    if args.upscaler:
+        view.desc.upscaler = args.upscaler
     view.update()
     r = view._renderer
     cfg = r._config()

@@ -1037,9 +1037,13 @@ def _lit_secondary_fold(
 
 def refraction_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
-    noise_rand, bg_planes, screen_u, screen_v, screen_v_bg=None,
+    noise_rand, bg_planes, bg_color,
 ):
     """RefractionRayGen.hlsl:17-117. Returns ((3, N), dropped).
+
+    bg_color is the (3, N) screen-space background+sky fallback the
+    refracted miss reads (RefractionRayGen.hlsl:30-36) — the same
+    fixed-grid sample render_frame computed for the primary pass.
 
     Scenes without refractive materials skip this pass statically
     (cfg.refraction_enabled); within an enabled scene, pixels that
@@ -1047,31 +1051,20 @@ def refraction_pass(
     runtime lax.cond fence costs more than the masked work."""
     return _refraction_impl(
         sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table,
-        noise_rand, bg_planes, screen_u, screen_v,
-        screen_v if screen_v_bg is None else screen_v_bg,
+        noise_rand, bg_planes, bg_color,
     )
 
 
 def _refraction_impl(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, pix, bn_table,
-    noise_rand, bg_planes, screen_u, screen_v, screen_v_bg,
+    noise_rand, bg_planes, bg_color,
 ):
     n = g.instance.shape[0]
     active = (g.instance >= 0) & (g.refr_alpha > EPSILON)
     eta = g.row[R.T_MAT + R.M_REFRACTION]
     ray_dir = _refract(g.view_dir, g.normal, eta)
 
-    bg = sky.sample_background_2d(bg_planes, screen_u, screen_v_bg)
-    sky_c = sky.sample_sky_2d(
-        sb.quad_pool, sb.quad_records,
-        jnp.broadcast_to(gp.sky_plane_rec, (n,)), screen_u, screen_v,
-        gp.view_i,
-        jnp.asarray(
-            [cfg.display_width, cfg.display_grid_height], jnp.float32
-        ),
-        gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
-    )
-    bg = bg * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
+    bg = bg_color
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.where(active, tracer.RAY_MAX_DISTANCE, -1.0)
@@ -1313,21 +1306,26 @@ def render_frame(
     # a function of the GLOBAL screen position (sv); the raster
     # background fetch addresses the band-local plane (sv_bg) — they
     # only coincide unsharded.
-    su = (pix[:, 0].astype(jnp.float32) + gp.pixel_jitter[0]) / w
-    sv = (pix[:, 1].astype(jnp.float32) + gp.pixel_jitter[1]) / cfg.grid_height
-    sv_bg = (
-        (pix[:, 1] - row_offset).astype(jnp.float32) + gp.pixel_jitter[1]
-    ) / h
-    bg_color = sky.sample_background_2d(bg_planes, su, sv_bg)
-    sky_c = sky.sample_sky_2d(
-        sb.quad_pool, sb.quad_records, jnp.broadcast_to(gp.sky_plane_rec, (n,)),
-        su, sv, gp.view_i,
-        jnp.asarray(
-            [cfg.display_width, cfg.display_grid_height], jnp.float32
-        ),
-        gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
+    # Fixed-grid background + sky (PrimaryRayGen.hlsl:47-56): both are
+    # regular-grid resamples here — the bg fetch is a uniform jitter
+    # shift of the band-local plane (pure elementwise) and the sky-plane
+    # uv is affine in screen position, so it rides two banded matmuls
+    # (ops/sky.sample_sky_2d_grid) instead of per-pixel pool gathers.
+    bg_color = sky.sample_background_grid(
+        bg_planes, gp.pixel_jitter[0], gp.pixel_jitter[1]
     )
-    bg_color = bg_color * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
+    if sb.sky_plane is not None:
+        sky_c = sky.sample_sky_2d_grid(
+            sb.sky_plane, gp.sky_plane_rec, gp.pixel_jitter, gp.view_i,
+            jnp.asarray(
+                [cfg.display_width, cfg.display_grid_height], jnp.float32
+            ),
+            gp.sky_yaw_offset, gp.sky_diffuse_mult, gp.sky_hsl_mod,
+            w, h, cfg.grid_height, row_offset,
+        )
+        bg_color = (
+            bg_color * (1.0 - sky_c[3])[None] + sky_c[:3] * sky_c[3][None]
+        )
 
     t_min = jnp.full((n,), tracer.RAY_MIN_DISTANCE)
     t_max = jnp.full((n,), tracer.RAY_MAX_DISTANCE)
@@ -1375,7 +1373,7 @@ def render_frame(
     if cfg.refraction_enabled:
         refraction_rgb, r_drop = refraction_pass(
             sb, tri_rows, trace_scene, cfg, gp, g, pix, bn_table, noise_rand,
-            bg_planes, su, sv, sv_bg,
+            bg_planes, bg_color,
         )
         alpha_dropped = alpha_dropped + r_drop
     else:

@@ -82,6 +82,11 @@ class SceneBuffers(NamedTuple):
     raster_bg_count: jax.Array  # () int32
     raster_fg: jax.Array  # (RB, RR_WIDTH) raster foreground (HUD)
     raster_fg_count: jax.Array  # () int32
+    # Dense (4, Ht, Wt) f32 copy of the sky-plane texture (None when the
+    # view has no sky): lets the fixed-grid sky resample ride the MXU
+    # (ops/sky.sample_sky_2d_grid) instead of a per-pixel pool gather.
+    # Shape changes re-specialize the jit like any other aval change.
+    sky_plane: Optional[jax.Array] = None
     features: ShadeFeatures = ShadeFeatures()
 
     def tree_flatten(self):
@@ -220,6 +225,21 @@ class ScenePacker:
         self._next_rec += 1
         self._dev_quads = None
         return self._combo_ids[key]
+
+    def set_sky_plane_dense(self, tex: Optional[Texture]):
+        """Dense (4, Ht, Wt) f32 sky texture for the fixed-grid MXU
+        resample (SceneBuffers.sky_plane). Kept alongside the quad-pool
+        record (add_env_texture), which still serves the per-direction
+        sky paths (reflection/GI bounces, BgSky.hlsli:72-84)."""
+        key = None if tex is None else (id(tex), tex.width, tex.height)
+        if getattr(self, "_sky_dense_key", "unset") == key:
+            return
+        self._sky_dense_key = key
+        if tex is None:
+            self._sky_dense = None
+        else:
+            img = tex.rgba.astype(np.float32).transpose(2, 0, 1) / 255.0
+            self._sky_dense = jnp.asarray(img)
 
     # -- geometry epoch -------------------------------------------------------
     def pack_geometry(self, instances: List[Instance]):
@@ -546,6 +566,7 @@ class ScenePacker:
             raster_bg_count=jnp.int32(rb_count),
             raster_fg=jnp.asarray(rf_rows),
             raster_fg_count=jnp.int32(rf_count),
+            sky_plane=getattr(self, "_sky_dense", None),
             features=features,
         )
 

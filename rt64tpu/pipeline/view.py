@@ -83,6 +83,7 @@ class ViewRenderer:
         self.active_instances = active
         self.packer.pack_quad_pool(everything)
         self._sky_rec = self.packer.add_env_texture(view.sky_plane_texture)
+        self.packer.set_sky_plane_dense(view.sky_plane_texture)
         self.packer.pack_geometry(active)
         self._sb = self.packer.pack_frame(
             everything, scene.lights_array(), raster_bg=raster_bg,

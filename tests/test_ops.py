@@ -112,3 +112,67 @@ def test_dds_bc1_decode():
     out = decode_dds(bytes(buf) + payload)
     assert out.shape == (4, 4, 4)
     assert out[0, 0, 0] == 255 and out[0, 0, 2] == 0
+
+
+def test_sky_grid_matches_gather():
+    """sample_sky_2d_grid (banded-matmul resample) == sample_sky_2d
+    (quad-pool gather) on the regular pixel grid."""
+    from rt64tpu.pipeline.scene_buffers import build_quad_entries
+    from rt64tpu import descriptors as d
+
+    rng = np.random.default_rng(3)
+    ht, wt = 32, 48
+    rgba = rng.integers(0, 256, (ht, wt, 4), dtype=np.uint8)
+    pool = jnp.asarray(build_quad_entries(
+        rgba, d.SHADER_ADDRESSING_WRAP, d.SHADER_ADDRESSING_WRAP))
+    records = jnp.asarray(np.array([[0, wt, ht]], np.int32))
+    sky_plane = jnp.asarray(
+        rgba.astype(np.float32).transpose(2, 0, 1) / 255.0)
+
+    h, w = 24, 40
+    jitter = jnp.asarray([0.31, -0.27], jnp.float32)
+    # A camera looking mostly forward with some yaw/pitch.
+    fwd = np.array([0.3, -0.2, -0.93])
+    fwd /= np.linalg.norm(fwd)
+    view_i = jnp.asarray(np.block([
+        [np.eye(3), np.zeros((3, 1))],
+        [np.zeros((1, 4))],
+    ]).astype(np.float32)).at[2, :3].set(jnp.asarray(fwd, jnp.float32))
+    viewport = jnp.asarray([float(w), float(h)], jnp.float32)
+    yaw = jnp.float32(0.7)
+    mult = jnp.asarray([1.1, 0.9, 1.0], jnp.float32)
+    hsl = jnp.asarray([0.1, -0.05, 0.02], jnp.float32)
+
+    px = np.tile(np.arange(w), h).astype(np.float32)
+    py = np.repeat(np.arange(h), w).astype(np.float32)
+    su = jnp.asarray((px + 0.31) / w)
+    sv = jnp.asarray((py - 0.27) / h)
+    ref = sky.sample_sky_2d(
+        pool, records, jnp.zeros((h * w,), jnp.int32), su, sv, view_i,
+        viewport, yaw, mult, hsl)
+    got = sky.sample_sky_2d_grid(
+        sky_plane, jnp.int32(0), jitter, view_i, viewport, yaw, mult, hsl,
+        w, h, h, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+    # rec < 0 -> transparent, like the gather path's valid mask.
+    off = sky.sample_sky_2d_grid(
+        sky_plane, jnp.int32(-1), jitter, view_i, viewport, yaw, mult, hsl,
+        w, h, h, 0)
+    assert float(jnp.abs(off[3]).max()) == 0.0
+
+
+def test_background_grid_matches_gather():
+    rng = np.random.default_rng(5)
+    h, w = 20, 36
+    img = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    for jx, jy in [(0.0, 0.0), (0.31, -0.27), (-0.49, 0.49)]:
+        px = np.tile(np.arange(w), h).astype(np.float32)
+        py = np.repeat(np.arange(h), w).astype(np.float32)
+        su = jnp.asarray((px + jx) / w)
+        sv = jnp.asarray((py + jy) / h)
+        ref = sky.sample_background_2d(img, su, sv)
+        got = sky.sample_background_grid(img, jnp.float32(jx),
+                                         jnp.float32(jy))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=0)
