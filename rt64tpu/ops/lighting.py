@@ -47,16 +47,17 @@ class LightingCtx(NamedTuple):
 
 
 def ctx_from_rows(rows_t, valid):
-    """Build a LightingCtx from gathered triangle rows (TROW, N)."""
-    mat = lambda off: rows_t[R.T_MAT + off]
-    flags = rows_t[R.T_FLAGS].astype(jnp.int32)
+    """Build a LightingCtx from gathered CONTEXT rows (R.CTXROW, N) —
+    the compact column subset (rows.py CTX_*) the post-resolve
+    full-width gathers carry (framegraph._row_of)."""
+    flags = rows_t[R.CTX_FLAGS].astype(jnp.int32)
     return LightingCtx(
-        ignore_normal=mat(R.M_IGNORE_NORMAL),
-        spec_exp=mat(R.M_SPEC_EXP),
-        shadow_ray_bias=mat(R.M_SHADOW_RAY_BIAS),
-        self_light=rows_t[R.T_MAT + R.M_SELF_LIGHT : R.T_MAT + R.M_SELF_LIGHT + 3],
+        ignore_normal=rows_t[R.CTX_IGNORE_NORMAL],
+        spec_exp=rows_t[R.CTX_SPEC_EXP],
+        shadow_ray_bias=rows_t[R.CTX_SHADOW_RAY_BIAS],
+        self_light=rows_t[R.CTX_SELF_LIGHT : R.CTX_SELF_LIGHT + 3],
         has_lighting=((flags & R.F_HAS_LIGHTING) != 0) & valid,
-        eligibility=rows_t[R.T_ELIG : R.T_ELIG + R.MAX_ELIG_LIGHTS]
+        eligibility=rows_t[R.CTX_ELIG : R.CTX_ELIG + R.MAX_ELIG_LIGHTS]
         * valid[None].astype(rows_t.dtype),
     )
 
@@ -333,6 +334,12 @@ def plan_lights(
 
     max_samples = max(di_samples, 1)
     reps = max_light_count * max_samples
+    # NOTE (measured): a pixel-major interleave of the (round, sample)
+    # ray sets (so each packet block spans 1/reps the pixels) did NOT
+    # pay: the repeat/transpose data-formatting ops cost ~2.8 ms/frame
+    # at 480p while the kernel's visit count barely moved — set-major
+    # concatenation keeps the ray planes layout-compatible with the
+    # (3, N) sources (zero-copy concat).
     return LightPlan(
         rounds=tuple(rounds),
         origins=jnp.tile(position, (1, reps)),

@@ -482,8 +482,7 @@ def trace_alpha_to_compact(
             jnp.where(scene.alpha & scene.valid, scene.bias, 0.0)
         )
         cull_tmax = jnp.minimum(t_max, t_opaque_biased + alpha_bias_max)
-    hit_c = _slab_any(origins, dirs, t_min, cull_tmax, lo_c, hi_c)
-    ray_mask = hit_c.any(axis=1)
+    ray_mask = _slab_any_bundled(origins, dirs, t_min, cull_tmax, lo_c, hi_c)
     idx, count = compact_indices(ray_mask, capacity)
     safe_r = jnp.minimum(idx, n - 1)
     live_r = idx < n
@@ -495,7 +494,12 @@ def trace_alpha_to_compact(
     for leaf in extra_leaves:
         rows.append(leaf[None] if leaf.ndim == 1 else leaf)
     packed = jnp.concatenate(rows, 0)
-    g = packed[:, safe_r]  # THE gather
+    # ROW-MAJOR gather: transpose once ((RR, N) -> (N, RR) is one
+    # layout copy at full memory bandwidth), gather compacted ROWS,
+    # transpose the small result back. Gathering columns of the (RR, N)
+    # layout made XLA emit a per-plane loop-fusion gather (RR row
+    # gathers of 4-byte rows) that profiled ~1 ms/call at 480p.
+    g = packed.T[safe_r].T
     o_c, d_c = g[0:3], g[3:6]
     tmin_c = g[6]
     # Pad lanes get an empty interval: they sweep nothing.
@@ -548,6 +552,68 @@ def trace_opaque_only(
         bias_op = scene.bias[jnp.maximum(tri_op, 0)]
     t_true = jnp.where(tri_op >= 0, t_opb + bias_op, _BIG)
     return t_true, tri_op, uv_op, t_opb
+
+
+def _slab_any_bundled(origins, dirs, t_min, t_max, lo, hi, sub: int = 8):
+    """Conservative per-ray any-box mask via SUB-ray interval bundles.
+
+    The exact per-ray form materializes an (N, M) slab matrix — ~1.5 ms
+    per frame on the castle shadow population at 480p. Bundling `sub`
+    adjacent rays into an interval (origin box, direction box, live
+    [t_min, t_max] hull) cuts that to (N/sub, M) at the price of a
+    slightly looser mask; the alpha pipeline only uses this as a
+    compaction PREFILTER (capacity-bounded, overflow counted), so the
+    extra candidates cost cap headroom, not sweep width. Dead rays
+    (empty interval) are excluded from the bundle hull and from the
+    returned mask."""
+    n = origins.shape[1]
+    if n % sub:
+        hit = _slab_any(origins, dirs, t_min, t_max, lo, hi)
+        return hit.any(axis=1)
+    ns = n // sub
+    live = t_max >= t_min
+    big = jnp.float32(_BIG)
+
+    def b3(a, fill, red):
+        m = jnp.where(live[None, :], a, fill)
+        return red(m.reshape(3, ns, sub), axis=2)
+
+    o_lo = b3(origins, big, jnp.min)
+    o_hi = b3(origins, -big, jnp.max)
+    d_lo = b3(dirs, big, jnp.min)
+    d_hi = b3(dirs, -big, jnp.max)
+    tmin_lo = jnp.where(live, t_min, big).reshape(ns, sub).min(axis=1)
+    tmax_hi = jnp.where(live, t_max, -big).reshape(ns, sub).max(axis=1)
+
+    m = lo.shape[1]
+    t_lo = jnp.full((ns, m), -jnp.inf)
+    t_hi = jnp.full((ns, m), jnp.inf)
+    eps = 1e-12
+    for c in range(3):
+        mixed = ((d_lo[c] <= eps) & (d_hi[c] >= -eps))[:, None]
+        inv_a = (1.0 / jnp.where(jnp.abs(d_lo[c]) > eps, d_lo[c], 1.0))[:, None]
+        inv_b = (1.0 / jnp.where(jnp.abs(d_hi[c]) > eps, d_hi[c], 1.0))[:, None]
+        num_lo = lo[c][None, :] - o_hi[c][:, None]
+        num_hi = hi[c][None, :] - o_lo[c][:, None]
+        t1 = num_lo * inv_a
+        t2 = num_lo * inv_b
+        t3 = num_hi * inv_a
+        t4 = num_hi * inv_b
+        ax_lo = jnp.minimum(jnp.minimum(t1, t2), jnp.minimum(t3, t4))
+        ax_hi = jnp.maximum(jnp.maximum(t1, t2), jnp.maximum(t3, t4))
+        t_lo = jnp.maximum(t_lo, jnp.where(mixed, -_BIG, ax_lo))
+        t_hi = jnp.minimum(t_hi, jnp.where(mixed, _BIG, ax_hi))
+    t_lo = t_lo - jnp.abs(t_lo) * 1e-5 - 1e-4
+    t_hi = t_hi + jnp.abs(t_hi) * 1e-5 + 1e-4
+    hit = (
+        (t_lo <= t_hi)
+        & (t_hi >= tmin_lo[:, None])
+        & (t_lo <= tmax_hi[:, None])
+    )
+    box_ok = jnp.all(lo <= hi, axis=0)
+    dead_b = o_lo[0] > o_hi[0]
+    bundle_any = (hit & box_ok[None, :]).any(axis=1) & ~dead_b
+    return jnp.repeat(bundle_any, sub) & live
 
 
 def _slab_any(origins, dirs, t_min, t_max, lo, hi):

@@ -173,7 +173,7 @@ class GBuffers(NamedTuple):
     depth: jax.Array  # (N,)
     refl_alpha: jax.Array  # (N,)
     refr_alpha: jax.Array  # (N,)
-    row: jax.Array  # (TROW, N) stored-hit triangle row (materials etc.)
+    row: jax.Array  # (R.CTXROW, N) stored-hit context row (rows.py CTX_*)
     alpha_dropped: jax.Array  # () int32 — alpha hits beyond shade capacity
 
 
@@ -498,10 +498,22 @@ def _fold_shaded_slots(
     return slot_fn(carry, sh, hits.t_op, origins, dirs, aux), dropped
 
 
+def _ctx_table(tri_rows):
+    """(T, CTXROW) column-sliced triangle rows: the 26 columns the
+    post-resolve consumers (lighting ctx, reflection fresnel/shine,
+    refraction eta) actually read, so full-pixel-width row gathers move
+    1/5 the bytes of a (N, TROW) gather. Pure function of tri_rows —
+    multiple call sites CSE into one slice inside the jit."""
+    return jnp.concatenate(
+        [tri_rows[:, s : s + l] for s, l in R.CTX_RUNS], axis=1
+    )
+
+
 def _row_of(tri_rows, tri, valid):
-    """Gather triangle rows for resolved per-pixel winners: ONE gather
-    instead of carrying (TROW, N) selects through the slot loop."""
-    row = tri_rows[jnp.maximum(tri, 0)].T
+    """Gather compact CONTEXT rows (R.CTXROW, N) for resolved per-pixel
+    winners: ONE slim gather instead of carrying full-row selects
+    through the slot loop."""
+    row = _ctx_table(tri_rows)[jnp.maximum(tri, 0)].T
     return row * valid[None].astype(row.dtype)
 
 
@@ -676,12 +688,11 @@ def primary_pass(
     # DI rounds into ONE packet-kernel launch (lighting.trace_plans),
     # removing a whole launch + visit-list build + alpha compaction
     # from the frame.
-    st_row = tri_rows[jnp.maximum(st_tri, 0)].T
-    st_row = st_row * stored[None].astype(st_row.dtype)
+    st_row = _row_of(tri_rows, st_tri, stored)
 
     feat = getattr(sb, "features", None)
     if feat is None or feat.has_lit_transparent:
-        tl_row = tri_rows[jnp.maximum(tl_tri, 0)].T
+        tl_row = _row_of(tri_rows, tl_tri, tl_stored)
         tl_ctx = lighting.ctx_from_rows(tl_row, tl_stored)
         tl_plan = lighting.plan_lights(
             sb, pix, bn_table, gp.frame_count, dirs, tl_pos, tl_nrm,
@@ -1061,7 +1072,7 @@ def _refraction_impl(
 ):
     n = g.instance.shape[0]
     active = (g.instance >= 0) & (g.refr_alpha > EPSILON)
-    eta = g.row[R.T_MAT + R.M_REFRACTION]
+    eta = g.row[R.CTX_REFRACTION]
     ray_dir = _refract(g.view_dir, g.normal, eta)
 
     bg = bg_color
@@ -1140,7 +1151,7 @@ def _reflection_impl(
     # material (ReflectionRayGen.hlsl:100). Both it and the incoming
     # reflection weight are per-pixel, so they ride the fold's aux
     # gather into compacted space.
-    primary_fresnel = sh_row[R.T_MAT + R.M_REFL_FRESNEL]
+    primary_fresnel = sh_row[R.CTX_REFL_FRESNEL]
 
     def make_carry(origins, dirs, aux):
         m = dirs.shape[1]
@@ -1233,7 +1244,7 @@ def _reflection_impl(
 
     # Background blend + artificial shine (ReflectionRayGen.hlsl:134-143).
     res_rgb = res_rgb + bg * res_a[None] + res_transparent
-    shine = sh_row[R.T_MAT + R.M_REFL_SHINE]
+    shine = sh_row[R.CTX_REFL_SHINE]
     highlight = vm.splat((1.0, 1.05, 1.2), res_rgb)
     shadow_c = vm.splat((0.1, 0.05, 0.0), res_rgb)
     up_amt = jnp.power(jnp.maximum(ray_dir[1], 0.0) * shine, 3.0)[None]

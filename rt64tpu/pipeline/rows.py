@@ -125,6 +125,39 @@ TROW = 122
 
 MAX_ELIG_LIGHTS = 16  # MAX_LIGHTS (Lights.hlsli:24)
 
+# ---- compact context rows (post-resolve per-pixel gathers) -----------------
+# After the K-hit resolve picks a winning triangle per pixel, the frame
+# re-gathers that triangle's row at FULL pixel width for lighting
+# context, reflection state, and refraction eta. Those consumers read
+# only these 26 of the 122 TROW columns, so the full-width gathers use
+# a column-sliced (T, CTXROW) table (framegraph._ctx_table) — 1/5 the
+# gathered bytes and none of the (N, 122) layout copies XLA
+# materialized around the wide gather.
+CTX_FLAGS = 0  # T_FLAGS
+CTX_IGNORE_NORMAL = 1  # T_MAT + M_IGNORE_NORMAL
+CTX_SPEC_EXP = 2  # T_MAT + M_SPEC_EXP
+CTX_SHADOW_RAY_BIAS = 3  # T_MAT + M_SHADOW_RAY_BIAS
+CTX_SELF_LIGHT = 4  # 3: T_MAT + M_SELF_LIGHT
+CTX_REFL_FRESNEL = 7  # T_MAT + M_REFL_FRESNEL
+CTX_REFL_SHINE = 8  # T_MAT + M_REFL_SHINE
+CTX_REFRACTION = 9  # T_MAT + M_REFRACTION
+CTX_ELIG = 10  # MAX_ELIG_LIGHTS: T_ELIG
+CTXROW = CTX_ELIG + MAX_ELIG_LIGHTS  # 26
+
+# (start, length) TROW column runs concatenated into the ctx table, in
+# CTX_* order.
+CTX_RUNS = (
+    (T_FLAGS, 1),
+    (T_MAT + M_IGNORE_NORMAL, 1),
+    (T_MAT + M_SPEC_EXP, 1),
+    (T_MAT + M_SHADOW_RAY_BIAS, 1),
+    (T_MAT + M_SELF_LIGHT, 3),
+    (T_MAT + M_REFL_FRESNEL, 2),  # fresnel, shine (adjacent)
+    (T_MAT + M_REFRACTION, 1),
+    (T_ELIG, MAX_ELIG_LIGHTS),
+)
+assert sum(r[1] for r in CTX_RUNS) == CTXROW
+
 
 def pack_cc(c0, c1) -> float:
     """Pack the two combiner cycles (4x3 bits each) into one f32-exact
