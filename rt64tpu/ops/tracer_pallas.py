@@ -45,11 +45,19 @@ def _pad128(a):
     )
 
 
-CLUSTER_SIZE = 128  # triangles per cluster (one lane tile)
+CLUSTER_SIZE = 128  # triangles per cluster (one lane tile; HBM-DMA path)
+# VMEM kernels cull and visit at HALF-tile granularity: 64-triangle
+# clusters, two visits packed per 128-lane intersection tile (their
+# Woop operands lane-concatenated before the matmul). The per-visit
+# elementwise tail is the kernel's dominant cost and 64-triangle boxes
+# cut the castle populations' (ray, tri) tile pairs ~45% for the same
+# visit-walk length (benchmarks/visitsweep.py: opaque 3059 -> 1704
+# tiles, shadows 4477 -> 2266).
+K_CS = 64
 BLOCK_RAYS = 512  # rays per kernel program (4 sublane rows of 128)
 GROUP_CLUSTERS = 8  # clusters per mid-level AABB group (two-level culling)
 SUPER_BLOCKS = 4  # ray blocks walked per kernel program (VMEM kernels)
-VISIT_UNROLL = 4  # clusters per while-loop iteration (VMEM kernels)
+VISIT_UNROLL = 4  # 64-tri visits per while-loop iteration (VMEM kernels)
 # Clusters live wholly in VMEM when the table fits comfortably (scene
 # up to ~87k triangles); beyond that the kernel falls back to the
 # double-buffered HBM DMA walk. VMEM is ~16 MB/core; 4 MB leaves room
@@ -88,13 +96,25 @@ def build_cluster_data(scene):
         rows.reshape(C_ROWS, nc, CLUSTER_SIZE).transpose(1, 0, 2)
     )
 
+    lo, hi = build_cluster_boxes(scene, CLUSTER_SIZE)
+    return cluster_tris, lo, hi
+
+
+def build_cluster_boxes(scene, cs: int):
+    """Per-cluster AABBs of the opaque-class triangles at `cs`-triangle
+    granularity: (lo (3, T//cs), hi (3, T//cs))."""
+    t_total = scene.num_triangles
+    assert t_total % cs == 0, (t_total, cs)
+    nc = t_total // cs
+    v0, v1, v2 = scene.v0, scene.v1, scene.v2
+    active = scene.valid & ~scene.alpha
     big = jnp.float32(_BIG)
-    act = active[None] > 0.0
+    act = active[None]
     lo = jnp.minimum(jnp.minimum(v0, v1), v2)
     hi = jnp.maximum(jnp.maximum(v0, v1), v2)
-    lo = jnp.where(act, lo, big).reshape(3, nc, CLUSTER_SIZE).min(axis=2)
-    hi = jnp.where(act, hi, -big).reshape(3, nc, CLUSTER_SIZE).max(axis=2)
-    return cluster_tris, lo, hi
+    lo = jnp.where(act, lo, big).reshape(3, nc, cs).min(axis=2)
+    hi = jnp.where(act, hi, -big).reshape(3, nc, cs).max(axis=2)
+    return lo, hi
 
 
 # Woop unit-triangle transform rows (cluster_mats, shape
@@ -110,7 +130,7 @@ W_BIAS = 7
 W_ROWS = 8
 
 
-def build_cluster_mats(scene):
+def build_cluster_mats(scene, cs: int = CLUSTER_SIZE):
     """Cluster-major Woop transforms for the MXU intersection tile.
 
     The VPU Moller-Trumbore tile costs ~45 elementwise ops per
@@ -120,8 +140,8 @@ def build_cluster_mats(scene):
     measured 1.8x faster per visit (benchmarks/woopbench.py). W is the
     inverse of [e1 e2 n]: rows (e2 x n, n x e1, n) / (n.n)."""
     t_total = scene.num_triangles
-    assert t_total % CLUSTER_SIZE == 0, t_total
-    nc = t_total // CLUSTER_SIZE
+    assert t_total % cs == 0, (t_total, cs)
+    nc = t_total // cs
 
     v0 = scene.v0
     e1 = scene.v1 - scene.v0
@@ -154,8 +174,8 @@ def build_cluster_mats(scene):
     ], axis=0)  # (4, T)
     aux3 = jnp.broadcast_to(aux[:, None, :], (4, 3, aux.shape[1]))
     m = jnp.concatenate([w, tr[None], aux3], axis=0)  # (8, 3, T)
-    m = m.reshape(W_ROWS, 3, nc, CLUSTER_SIZE).transpose(2, 0, 1, 3)
-    return m.reshape(nc, W_ROWS, 3 * CLUSTER_SIZE)
+    m = m.reshape(W_ROWS, 3, nc, cs).transpose(2, 0, 1, 3)
+    return m.reshape(nc, W_ROWS, 3 * cs)
 
 
 def _block_od(rays_ref, sl):
@@ -198,6 +218,45 @@ def _woop_cluster(m, od, tmin, tmax, cull_backface):
         & (m[W_ACTIVE, 0:cs][None, :] > 0.0)
     )
     return hit, t, u, v
+
+
+def _woop_pair(m0, m1, od, tmin, tmax, cull_backface):
+    """TWO 64-triangle clusters intersected as ONE (B, 128) lane tile.
+
+    The pair's Woop operands are lane-concatenated group-by-group
+    BEFORE the matmul — six (W_ROWS, 64) shuffles on the tiny operand
+    instead of shuffling the (2B, 384) product — so the matmul and the
+    whole elementwise tail (the kernel's dominant cost) run at full
+    128-lane occupancy over twice-finer culling granularity. Returns
+    (hit, t, u, v (B, 128), bias (128,)); column c < 64 is triangle c
+    of m0's cluster, else triangle c-64 of m1's."""
+    ks = K_CS
+    cs = 2 * ks
+    b = od.shape[0] // 2
+    mm = jnp.concatenate([
+        m0[:, 0:ks], m1[:, 0:ks],
+        m0[:, ks:2 * ks], m1[:, ks:2 * ks],
+        m0[:, 2 * ks:3 * ks], m1[:, 2 * ks:3 * ks],
+    ], axis=1)  # (W_ROWS, 3 * 128)
+    sr = jnp.dot(od, mm, preferred_element_type=jnp.float32)  # (2B, 3CS)
+    sx, sy, sz = sr[:b, 0:cs], sr[:b, cs:2 * cs], sr[:b, 2 * cs:3 * cs]
+    rx, ry, rz = sr[b:, 0:cs], sr[b:, cs:2 * cs], sr[b:, 2 * cs:3 * cs]
+    det = -(rz * mm[W_NN, 0:cs][None, :])
+    if cull_backface:
+        keep = (det > 1e-9) | (
+            (mm[W_NO_CULL, 0:cs][None, :] > 0.0) & (det < -1e-9)
+        )
+    else:
+        keep = jnp.abs(det) > 1e-9
+    t = -sz / jnp.where(keep, rz, 1.0)
+    u = sx + t * rx
+    v = sy + t * ry
+    hit = (
+        keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= tmin) & (t <= tmax)
+        & (mm[W_ACTIVE, 0:cs][None, :] > 0.0)
+    )
+    return hit, t, u, v, mm[W_BIAS, 0:cs]
 
 
 def _slab_per_ray(origins, dirs, t_min, t_max, lo, hi):
@@ -286,7 +345,8 @@ def _slab_interval(o_lo, o_hi, d_lo, d_hi, tmin_lo, tmax_hi, lo, hi):
 
 
 def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
-                      block_rays: int, bias_max=0.0):
+                      block_rays: int, bias_max=0.0,
+                      group_clusters: int = GROUP_CLUSTERS):
     """Per-ray-block compacted cluster visit lists — the TWO-LEVEL
     XLA pre-pass (the BLAS/TLAS traversal-cull analog of the driver BVH,
     contrib/nv_helpers_dx12/{Bottom,Top}LevelASGenerator.cpp).
@@ -318,7 +378,7 @@ def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
     n_blocks = n // block_rays
 
     # Pad clusters to a group multiple with inverted (never-hit) boxes.
-    g = GROUP_CLUSTERS
+    g = group_clusters
     pad = (-nc) % g
     if pad:
         lo_p = jnp.concatenate(
@@ -372,11 +432,32 @@ def block_visit_lists(origins, dirs, t_min, t_max, aabb_lo, aabb_hi,
     counts = block_hit.sum(axis=1).astype(jnp.int32)
     key = jnp.where(block_hit, entry_b, _BIG)
     # Front-to-back compaction; pad with nc (an always-empty slot).
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    if nc_p <= 256:
+        # Rank-based stable argsort: XLA's generic sort lowers to a
+        # bitonic network that profiled ~1.4 ms/frame at 80 columns;
+        # for short per-block rows a comparison-matrix rank plus a
+        # one-hot contraction computes the identical stable order in
+        # O(nc^2) VPU/MXU work (~0.1 ms at this width).
+        idx = jnp.arange(nc_p, dtype=jnp.int32)
+        before = (key[:, None, :] < key[:, :, None]) | (
+            (key[:, None, :] == key[:, :, None])
+            & (idx[None, :, None] < idx[None, None, :])
+        )
+        rank = before.sum(axis=2).astype(jnp.int32)  # (B, nc_p)
+        onehot = (rank[:, :, None] == idx[None, None, :]).astype(
+            jnp.float32
+        )  # [block, source i, dest r]
+        order = jnp.einsum(
+            "bir,i->br", onehot, idx.astype(jnp.float32)
+        ).astype(jnp.int32)
+        entry_sorted = jnp.einsum("bir,bi->br", onehot, key)
+    else:
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        entry_sorted = jnp.take_along_axis(key, order, axis=1)
     visits = jnp.where(
         jnp.arange(nc_p)[None, :] < counts[:, None], order, nc
     ).astype(jnp.int32)
-    entry = jnp.take_along_axis(key, order, axis=1) - bias_max
+    entry = entry_sorted - bias_max
     # Padded cluster ids never hit, so the tail slice is pure padding.
     return visits[:, :nc], counts, entry[:, :nc]
 
@@ -604,7 +685,7 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
     row_e.wait()
 
     col = jax.lax.broadcasted_iota(
-        jnp.int32, (BLOCK_RAYS, CLUSTER_SIZE), 1
+        jnp.int32, (BLOCK_RAYS, 2 * K_CS), 1
     )
     for s in range(super_blocks):
         count = ivals_ref[s, 0]
@@ -618,28 +699,32 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
             return (i < count) & (entry_ref[s, jnp.minimum(i, nc - 1)] <= worst)
 
         def body(carry):
-            i, worst, key_best, cid_best, u_best, v_best, b_best = carry
+            i, worst, key_best, tid_best, u_best, v_best, b_best = carry
             # Visits beyond `count` read pad-id slots -> the all-zero pad
             # cluster (ACTIVE 0) -> no hits; processing pairs only
             # coarsens the early-out check, never its correctness.
-            for k in range(VISIT_UNROLL):
-                cid = ivals_ref[s, 1 + i + k]
-                m = cluster_ref[cid]  # (W_ROWS, 3*CS) — VMEM, no DMA
-                hit, t, u, v = _woop_cluster(
-                    m, od, tmin, tmax, cull_backface
+            for k in range(0, VISIT_UNROLL, 2):
+                cid0 = ivals_ref[s, 1 + i + k]
+                cid1 = ivals_ref[s, 1 + i + k + 1]
+                hit, t, u, v, bias_row = _woop_pair(
+                    cluster_ref[cid0], cluster_ref[cid1], od, tmin, tmax,
+                    cull_backface,
                 )
-                bias = jnp.broadcast_to(
-                    m[W_BIAS, 0:CLUSTER_SIZE][None, :], key_best.shape
+                bias = jnp.broadcast_to(bias_row[None, :], key_best.shape)
+                # Global triangle id per lane (unique: each cluster is
+                # visited once per block at one pair position).
+                tid = jnp.where(
+                    col < K_CS, cid0 * K_CS + col, cid1 * K_CS + col - K_CS
                 )
                 key = jnp.where(hit, t - bias, _BIG)
                 better = key < key_best
                 key_best = jnp.where(better, key, key_best)
-                cid_best = jnp.where(better, cid, cid_best)
+                tid_best = jnp.where(better, tid, tid_best)
                 u_best = jnp.where(better, u, u_best)
                 v_best = jnp.where(better, v, v_best)
                 b_best = jnp.where(better, bias, b_best)
             worst = jnp.max(key_best.min(axis=1))
-            return (i + VISIT_UNROLL, worst, key_best, cid_best, u_best,
+            return (i + VISIT_UNROLL, worst, key_best, tid_best, u_best,
                     v_best, b_best)
 
         shape3 = (1, BLOCK_RAYS // 128, 128)
@@ -662,18 +747,22 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
             # key init tmax + 1 (t == t_max still wins under strict <);
             # rays that can hit nothing past t_max stop gating the
             # early-out.
-            key0 = jnp.broadcast_to(tmax + 1.0, (BLOCK_RAYS, CLUSTER_SIZE))
-            zero = jnp.zeros((BLOCK_RAYS, CLUSTER_SIZE), jnp.float32)
+            key0 = jnp.broadcast_to(tmax + 1.0, (BLOCK_RAYS, 2 * K_CS))
+            zero = jnp.zeros((BLOCK_RAYS, 2 * K_CS), jnp.float32)
             init = (
                 jnp.int32(0),
                 jnp.max(tmax + 1.0),
                 key0,
-                jnp.full((BLOCK_RAYS, CLUSTER_SIZE), nc, jnp.int32),
+                # Sentinel id beyond any real/pad triangle id: never
+                # matches the extracted winner, so never-hit lanes pick
+                # nothing below.
+                jnp.full((BLOCK_RAYS, 2 * K_CS), (nc + 1) * K_CS,
+                         jnp.int32),
                 zero,
                 zero,
                 zero,
             )
-            _, _, key_best, cid_best, u_best, v_best, b_best = (
+            _, _, key_best, tid_best, u_best, v_best, b_best = (
                 jax.lax.while_loop(cond, body, init)
             )
 
@@ -682,12 +771,11 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
             # lanes tied at the per-ray min key.
             best = key_best.min(axis=1, keepdims=True)
             found = best <= tmax
-            gid = cid_best * CLUSTER_SIZE + col
-            idx = jnp.where(key_best <= best, gid, -1).max(
+            idx = jnp.where(key_best <= best, tid_best, -1).max(
                 axis=1, keepdims=True
             )
             idx = jnp.where(found, idx, -1)
-            at = gid == idx  # the winning lane (gid unique per lane)
+            at = tid_best == idx  # the winning lane (tid unique per lane)
             pick = lambda a: jnp.sum(jnp.where(at, a, 0.0), axis=1,
                                      keepdims=True)
             t_ref[s] = best.reshape(shape3)[0]
@@ -814,10 +902,13 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
 
         def body(carry):
             i, blocked_n, worst, bl = carry
-            for k in range(VISIT_UNROLL):
-                cid = ivals_ref[s, 1 + i + k]
-                m = cluster_ref[cid]
-                hit, _, _, _ = _woop_cluster(m, od, tmin, tmax, False)
+            for k in range(0, VISIT_UNROLL, 2):
+                cid0 = ivals_ref[s, 1 + i + k]
+                cid1 = ivals_ref[s, 1 + i + k + 1]
+                hit, _, _, _, _ = _woop_pair(
+                    cluster_ref[cid0], cluster_ref[cid1], od, tmin, tmax,
+                    False,
+                )
                 bl = jnp.maximum(bl, jnp.where(hit, 1.0, 0.0))
             row_blocked = bl.max(axis=1, keepdims=True)
             blocked_n = row_blocked.sum()
@@ -835,7 +926,7 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
         @pl.when(count > 0)
         def _():
             init = (jnp.int32(0), jnp.float32(0), jnp.max(tmax),
-                    jnp.zeros((BLOCK_RAYS, CLUSTER_SIZE), jnp.float32))
+                    jnp.zeros((BLOCK_RAYS, 2 * K_CS), jnp.float32))
             _, _, _, bl = jax.lax.while_loop(cond, body, init)
             out_ref[s] = (
                 bl.max(axis=1, keepdims=True).reshape(
@@ -971,23 +1062,34 @@ def make_opaque_fn(interpret: bool = False):
         bias_max = jnp.max(
             jnp.where(scene.valid & ~scene.alpha, scene.bias, 0.0)
         )
-        visits, counts, entries = block_visit_lists(
-            origins_p, dirs_p, t_min_p, t_max_k, lo, hi, BLOCK_RAYS,
-            bias_max=bias_max,
-        )
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_k[None]], axis=0
         )
-        # VMEM kernels take the Woop matmul form; the HBM-DMA fallback
-        # (scenes past the VMEM budget) keeps the MT triangle rows.
-        mats = build_cluster_mats(scene)
+        # VMEM kernels take the Woop matmul form at K_CS-triangle visit
+        # granularity (pairs packed per 128-lane tile); the HBM-DMA
+        # fallback (scenes past the VMEM budget) keeps the MT triangle
+        # rows at CLUSTER_SIZE.
+        mats = build_cluster_mats(scene, K_CS)
         if _clusters_fit_vmem(mats):
+            lo_k, hi_k = build_cluster_boxes(scene, K_CS)
+            visits, counts, entries = block_visit_lists(
+                origins_p, dirs_p, t_min_p, t_max_k, lo_k, hi_k,
+                BLOCK_RAYS, bias_max=bias_max,
+                # 2x the group factor: K_CS boxes are half-size, so the
+                # level-1 group boxes (and the per-ray level-1 cost)
+                # keep the same physical extent as the 128-tri path.
+                group_clusters=2 * GROUP_CLUSTERS,
+            )
             # Append an always-inactive pad cluster (visit padding id).
             cluster = jnp.concatenate(
                 [mats, jnp.zeros((1,) + mats.shape[1:], mats.dtype)], 0
             )
             impl = _trace_opaque_vmem_impl
         else:
+            visits, counts, entries = block_visit_lists(
+                origins_p, dirs_p, t_min_p, t_max_k, lo, hi, BLOCK_RAYS,
+                bias_max=bias_max,
+            )
             cluster = jnp.concatenate(
                 [cluster_tris,
                  jnp.zeros((1,) + cluster_tris.shape[1:],
@@ -1174,20 +1276,25 @@ def make_shadow_opaque_fn(interpret: bool = False):
         else:
             origins_p, dirs_p, t_min_p, t_max_p = origins, dirs, t_min, t_max
 
-        cluster_tris, lo, hi = build_cluster_data(scene)
-        visits, counts, entries = block_visit_lists(
-            origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
-        )
         rays8 = jnp.concatenate(
             [origins_p, dirs_p, t_min_p[None], t_max_p[None]], axis=0
         )
-        mats = build_cluster_mats(scene)
+        mats = build_cluster_mats(scene, K_CS)
         if _clusters_fit_vmem(mats):
+            lo_k, hi_k = build_cluster_boxes(scene, K_CS)
+            visits, counts, entries = block_visit_lists(
+                origins_p, dirs_p, t_min_p, t_max_p, lo_k, hi_k, BLOCK_RAYS,
+                group_clusters=2 * GROUP_CLUSTERS,
+            )
             cluster = jnp.concatenate(
                 [mats, jnp.zeros((1,) + mats.shape[1:], mats.dtype)], 0
             )
             shadow_impl = _shadow_vmem_impl
         else:
+            cluster_tris, lo, hi = build_cluster_data(scene)
+            visits, counts, entries = block_visit_lists(
+                origins_p, dirs_p, t_min_p, t_max_p, lo, hi, BLOCK_RAYS
+            )
             cluster = jnp.concatenate(
                 [cluster_tris,
                  jnp.zeros((1,) + cluster_tris.shape[1:],
