@@ -263,7 +263,14 @@ def main():
                          "and headline the frontier (first rung under 60 fps)")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
-    ap.add_argument("--frames", type=int, default=8)
+    # 24 device-chained frames per timed scan: the tunneled axon
+    # transport carries ~15 ms of fixed dispatch+sync latency per rep,
+    # which at 8 frames/scan inflated every rung by ~4 ms/frame (the
+    # op-level profile showed 21.2 ms/frame of device time while the
+    # 8-frame scan reported 26.6). Longer scans amortize the harness
+    # artifact; per-frame globals still advance every frame (honesty
+    # note in benchmarks/RESULTS.md).
+    ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--di", type=int, default=None)
     ap.add_argument("--gi", type=int, default=None)

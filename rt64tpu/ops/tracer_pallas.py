@@ -167,6 +167,14 @@ def build_cluster_mats(scene, cs: int = CLUSTER_SIZE):
         -(w2 * v0).sum(axis=0),
     ], axis=0)  # (3, T)
     active = (scene.valid & ~scene.alpha & safe).astype(jnp.float32)
+    # Inactive lanes (invalid / alpha-class / degenerate) get an
+    # all-zero transform: r_z = 0 -> det = 0 -> the keep test excludes
+    # them, so the intersection tails drop their explicit ACTIVE
+    # compare+and (two full-width VPU ops per visit).
+    w0 = w0 * active[None]
+    w1 = w1 * active[None]
+    w2 = w2 * active[None]
+    tr = tr * active[None]
 
     w = jnp.stack([w0, w1, w2], axis=1)  # (3 in-dims, 3 groups, T)
     aux = jnp.stack([
@@ -190,34 +198,6 @@ def _block_od(rays_ref, sl):
         jnp.concatenate([o_t.T, ones, jnp.zeros((b, 4), jnp.float32)], 1),
         jnp.concatenate([d_t.T, jnp.zeros((b, 5), jnp.float32)], 1),
     ], axis=0)
-
-
-def _woop_cluster(m, od, tmin, tmax, cull_backface):
-    """512x128 Woop intersection of one cluster against a ray block.
-    Same contract as _mt_cluster: (hit, t, u, v) planes (B, CS).
-    Backface semantics match MT exactly: det = -r_z * nn equals
-    e1.(d x e2) algebraically, so the 1e-9 thresholds carry over."""
-    cs = CLUSTER_SIZE
-    b = od.shape[0] // 2
-    sr = jnp.dot(od, m, preferred_element_type=jnp.float32)  # (2B, 3CS)
-    sx, sy, sz = sr[:b, 0:cs], sr[:b, cs:2 * cs], sr[:b, 2 * cs:3 * cs]
-    rx, ry, rz = sr[b:, 0:cs], sr[b:, cs:2 * cs], sr[b:, 2 * cs:3 * cs]
-    det = -(rz * m[W_NN, 0:cs][None, :])
-    if cull_backface:
-        keep = (det > 1e-9) | (
-            (m[W_NO_CULL, 0:cs][None, :] > 0.0) & (det < -1e-9)
-        )
-    else:
-        keep = jnp.abs(det) > 1e-9
-    t = -sz / jnp.where(keep, rz, 1.0)
-    u = sx + t * rx
-    v = sy + t * ry
-    hit = (
-        keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t >= tmin) & (t <= tmax)
-        & (m[W_ACTIVE, 0:cs][None, :] > 0.0)
-    )
-    return hit, t, u, v
 
 
 def _woop_pair(m0, m1, od, tmin, tmax, cull_backface):
@@ -251,12 +231,54 @@ def _woop_pair(m0, m1, od, tmin, tmax, cull_backface):
     t = -sz / jnp.where(keep, rz, 1.0)
     u = sx + t * rx
     v = sy + t * ry
+    # No ACTIVE term: inactive lanes have an all-zero transform
+    # (build_cluster_mats), so det = 0 already excludes them via keep.
     hit = (
         keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         & (t >= tmin) & (t <= tmax)
-        & (mm[W_ACTIVE, 0:cs][None, :] > 0.0)
     )
     return hit, t, u, v, mm[W_BIAS, 0:cs]
+
+
+def _woop_pair_occl(m0, m1, od, tmin, tmax):
+    """Occlusion-only pair tile: the division-free form of _woop_pair.
+
+    Shadows need only the binary verdict, so multiply the hit
+    conditions through by q = r_z^2 > 0 instead of dividing for t
+    (t = -s_z/r_z = p/q with p = -s_z r_z):
+
+        u >= 0      <=>  s_x q + p r_x >= 0
+        v >= 0      <=>  s_y q + p r_y >= 0
+        u + v <= 1  <=>  (s_x + s_y) q + p (r_x + r_y) <= q
+        t in [tmin, tmax]  <=>  tmin q <= p <= tmax q
+
+    The VPU divide (a multi-op Newton expansion) drops out of the
+    kernel's dominant per-visit tail. `keep` stays the exact MT
+    threshold |det| > 1e-9 with det = -r_z * nn, so the accepted
+    hit set matches _woop_pair up to multiply-vs-divide rounding on
+    exactly-borderline lanes."""
+    ks = K_CS
+    cs = 2 * ks
+    b = od.shape[0] // 2
+    mm = jnp.concatenate([
+        m0[:, 0:ks], m1[:, 0:ks],
+        m0[:, ks:2 * ks], m1[:, ks:2 * ks],
+        m0[:, 2 * ks:3 * ks], m1[:, 2 * ks:3 * ks],
+    ], axis=1)  # (W_ROWS, 3 * 128)
+    sr = jnp.dot(od, mm, preferred_element_type=jnp.float32)  # (2B, 3CS)
+    sx, sy, sz = sr[:b, 0:cs], sr[:b, cs:2 * cs], sr[:b, 2 * cs:3 * cs]
+    rx, ry, rz = sr[b:, 0:cs], sr[b:, cs:2 * cs], sr[b:, 2 * cs:3 * cs]
+    det = -(rz * mm[W_NN, 0:cs][None, :])
+    keep = jnp.abs(det) > 1e-9  # shadows never cull
+    q = rz * rz
+    p = -(sz * rz)
+    uq = sx * q + p * rx
+    vq = sy * q + p * ry
+    hit = (
+        keep & (uq >= 0.0) & (vq >= 0.0) & (uq + vq <= q)
+        & (p >= tmin * q) & (p <= tmax * q)
+    )
+    return hit
 
 
 def _slab_per_ray(origins, dirs, t_min, t_max, lo, hi):
@@ -905,9 +927,8 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
             for k in range(0, VISIT_UNROLL, 2):
                 cid0 = ivals_ref[s, 1 + i + k]
                 cid1 = ivals_ref[s, 1 + i + k + 1]
-                hit, _, _, _, _ = _woop_pair(
+                hit = _woop_pair_occl(
                     cluster_ref[cid0], cluster_ref[cid1], od, tmin, tmax,
-                    False,
                 )
                 bl = jnp.maximum(bl, jnp.where(hit, 1.0, 0.0))
             row_blocked = bl.max(axis=1, keepdims=True)
