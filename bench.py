@@ -168,7 +168,7 @@ def measure(scene_name, width, height, di, gi, reflections, frames, reps,
         hist = fg.History.zeros(cfg.rt_height, cfg.rt_width)
         np.asarray(jf(*args(hist)))
     dt = (time.time() - t0) / (reps * frames)
-    return 1.0 / dt, cfg
+    return 1.0 / dt, cfg, bool(r._sb.features.has_lit_transparent)
 
 
 def measure_streamed(scene_name, width, height, di, gi, reflections,
@@ -213,7 +213,8 @@ def measure_streamed(scene_name, width, height, di, gi, reflections,
         for f in range(frames):
             push(frames * (rep + 1) + f)
     dt = (time.time() - t0) / (reps * frames)
-    return 1.0 / dt, view._renderer._config()
+    r = view._renderer
+    return 1.0 / dt, r._config(), bool(r._sb.features.has_lit_transparent)
 
 
 def measure_ssim(scene_name, width, height, di, gi, reflections,
@@ -240,20 +241,28 @@ def measure_ssim(scene_name, width, height, di, gi, reflections,
     return float(ssim(prod, native, data_range=1.0))
 
 
-def rung_mrays(width, height, di, gi, reflections, fps):
-    # Ray budget per pixel for this config (SURVEY.md section 6):
-    # primary + DI shadows (maxLights-selected, here 1 light scene) +
-    # GI (trace + 1-light shadow) + refraction(1+1) + reflections.
-    lights = 1
+def rung_mrays(cfg, fps, has_lit_transparent=True):
+    """Mrays/s from the rays the frame graph ACTUALLY traces for this
+    static config — statically-elided passes (refraction_enabled=False,
+    no lit-transparent instances, reflections off) count zero, matching
+    the compiled program (framegraph.render_frame):
+      primary 1
+      + DI shadows: max_lights x di_samples (lighting.plan_lights)
+      + trans-lit shadow: 1 x di_samples iff the scene can produce one
+      + GI: gi_samples x (1 bounce trace + 1-light x di_samples shadow)
+      + refraction: 1 trace + 1-light x di_samples shadow, iff enabled
+      + reflections: max_reflections traces (check_shadows=False).
+    """
+    di = cfg.di_samples
     rays_per_pixel = (
         1
-        + di * lights
-        + gi * (1 + di)
-        + (1 + di)  # refraction + its light
-        + reflections
-        + 1  # transparent-light shadow
+        + cfg.max_lights * di
+        + (di if has_lit_transparent else 0)
+        + cfg.gi_samples * (1 + di)
+        + ((1 + di) if cfg.refraction_enabled else 0)
+        + cfg.max_reflections
     )
-    return width * height * rays_per_pixel * fps / 1e6
+    return cfg.rt_width * cfg.rt_height * rays_per_pixel * fps / 1e6
 
 
 def main():
@@ -302,14 +311,14 @@ def main():
             scene_name, w, h, di, gi, refl, ups, md = CONFIGS[c]
             if args.native:
                 ups, md = "off", "auto"
-            fps, cfg = measure(scene_name, w, h, di, gi, refl,
-                               args.frames, args.reps, ups, md)
+            fps, cfg, tl = measure(scene_name, w, h, di, gi, refl,
+                                   args.frames, args.reps, ups, md)
             ladder[f"config{c}"] = round(fps, 2)
-            frontier = (c, scene_name, w, h, di, gi, refl, ups, cfg, fps)
+            frontier = (c, scene_name, w, h, di, gi, refl, ups, cfg, fps, tl)
             if fps < args.target_fps:
                 break
-        c, scene_name, w, h, di, gi, refl, ups, cfg, fps = frontier
-        mrays = rung_mrays(cfg.rt_width, cfg.rt_height, di, gi, refl, fps)
+        c, scene_name, w, h, di, gi, refl, ups, cfg, fps, tl = frontier
+        mrays = rung_mrays(cfg, fps, tl)
         print(json.dumps({
             "metric": f"fps@{w}x{h} (BASELINE frontier config {c}: "
                       f"{scene_name} scene, di={di} gi={gi} refl={refl}, "
@@ -338,10 +347,10 @@ def main():
         ups, mode = "off", "auto"
 
     meas = measure_streamed if args.streamed else measure
-    fps, cfg = meas(args.scene, args.width, args.height, args.di, args.gi,
-                    args.reflections, args.frames, args.reps, ups, mode)
-    mrays = rung_mrays(cfg.rt_width, cfg.rt_height, args.di, args.gi,
-                       args.reflections, fps)
+    fps, cfg, tl = meas(args.scene, args.width, args.height, args.di,
+                        args.gi, args.reflections, args.frames, args.reps,
+                        ups, mode)
+    mrays = rung_mrays(cfg, fps, tl)
     loop = "streamed " if args.streamed else ""
     out = {
         "metric": f"fps@{args.width}x{args.height} ({loop}BASELINE config "

@@ -166,15 +166,19 @@ def build_cluster_mats(scene, cs: int = CLUSTER_SIZE):
         -(w1 * v0).sum(axis=0),
         -(w2 * v0).sum(axis=0),
     ], axis=0)  # (3, T)
-    active = (scene.valid & ~scene.alpha & safe).astype(jnp.float32)
+    active = scene.valid & ~scene.alpha & safe
     # Inactive lanes (invalid / alpha-class / degenerate) get an
     # all-zero transform: r_z = 0 -> det = 0 -> the keep test excludes
     # them, so the intersection tails drop their explicit ACTIVE
-    # compare+and (two full-width VPU ops per visit).
-    w0 = w0 * active[None]
-    w1 = w1 * active[None]
-    w2 = w2 * active[None]
-    tr = tr * active[None]
+    # compare+and (two full-width VPU ops per visit). jnp.where (not
+    # multiplication) so NaN/Inf vertex data in an invalid lane still
+    # zeroes exactly instead of relying on NaN-comparison semantics.
+    act3 = active[None]
+    w0 = jnp.where(act3, w0, 0.0)
+    w1 = jnp.where(act3, w1, 0.0)
+    w2 = jnp.where(act3, w2, 0.0)
+    tr = jnp.where(act3, tr, 0.0)
+    active = active.astype(jnp.float32)
 
     w = jnp.stack([w0, w1, w2], axis=1)  # (3 in-dims, 3 groups, T)
     aux = jnp.stack([
@@ -274,8 +278,13 @@ def _woop_pair_occl(m0, m1, od, tmin, tmax):
     p = -(sz * rz)
     uq = sx * q + p * rx
     vq = sy * q + p * ry
+    # q > 0 guards flush-to-zero underflow: squaring doubles the
+    # dynamic range, so a near-grazing r_z can underflow q (and p) to
+    # exactly 0 while keep (|r_z * nn|) still passes for large-nn
+    # triangles — then every inequality degenerates to 0 >= 0 and a
+    # miss reads as a hit. One extra VPU AND.
     hit = (
-        keep & (uq >= 0.0) & (vq >= 0.0) & (uq + vq <= q)
+        keep & (q > 0.0) & (uq >= 0.0) & (vq >= 0.0) & (uq + vq <= q)
         & (p >= tmin * q) & (p <= tmax * q)
     )
     return hit
@@ -722,9 +731,10 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
 
         def body(carry):
             i, worst, key_best, tid_best, u_best, v_best, b_best = carry
-            # Visits beyond `count` read pad-id slots -> the all-zero pad
-            # cluster (ACTIVE 0) -> no hits; processing pairs only
-            # coarsens the early-out check, never its correctness.
+            # Visits beyond `count` read pad-id slots -> the all-zero
+            # pad cluster, whose zero Woop transform gives det = 0 on
+            # every lane -> no hits; processing pairs only coarsens the
+            # early-out check, never its correctness.
             for k in range(0, VISIT_UNROLL, 2):
                 cid0 = ivals_ref[s, 1 + i + k]
                 cid1 = ivals_ref[s, 1 + i + k + 1]

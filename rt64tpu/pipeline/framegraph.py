@@ -70,6 +70,10 @@ class RenderConfig:
     # pattern (limits.py) applied to alpha-hit shading.
     alpha_shade_boost: int = 1
     use_pallas_tracer: bool = False  # cluster-culled packet kernel (TPU)
+    # Run the packet kernels through the Pallas interpreter (CPU):
+    # validates the production traversal path — including under
+    # shard_map — on hosts without TPU hardware.
+    pallas_interpret: bool = False
     # Multi-chip row tiling (parallel/tiling.py): rt_height is this
     # shard's rows; full_height is the whole image (0 = unsharded).
     full_height: int = 0
@@ -347,7 +351,7 @@ def _opaque_fn(cfg):
     if cfg.use_pallas_tracer:
         from rt64tpu.ops import tracer_pallas
 
-        return tracer_pallas.make_opaque_fn()
+        return tracer_pallas.make_opaque_fn(interpret=cfg.pallas_interpret)
     return None
 
 
@@ -357,7 +361,9 @@ def _shadow_fn(cfg):
     if cfg.use_pallas_tracer:
         from rt64tpu.ops import tracer_pallas
 
-        return tracer_pallas.make_shadow_opaque_fn()
+        return tracer_pallas.make_shadow_opaque_fn(
+            interpret=cfg.pallas_interpret
+        )
     return None
 
 
