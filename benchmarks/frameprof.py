@@ -105,6 +105,7 @@ def main():
         ev_metadata = plane.event_metadata
         stats_meta = plane.stat_metadata
         by_op = collections.Counter()
+        op_n = collections.Counter()
         by_cat = collections.Counter()
         by_src = collections.Counter()
         src_n = collections.Counter()
@@ -133,6 +134,7 @@ def main():
                     elif sm.name == "bytes_accessed":
                         nbytes = st.uint64_value
                 by_op[name] += ms
+                op_n[name] += 1
                 by_cat[cat or "?"] += ms
                 cat_n[cat or "?"] += 1
                 skey = f"{src or '?':<46} [{cat or '?'}]"
@@ -156,7 +158,7 @@ def main():
             print(f"  {ms:>9.2f}  n={src_n[skey]:<5} {gb:>7.2f}GB  {skey}")
         print(f"\ntop {args.top} ops:")
         for name, ms in by_op.most_common(args.top):
-            print(f"  {ms:>9.2f}  {name[:110]}")
+            print(f"  {ms:>9.2f}  n={op_n[name]:<5} {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e37
 
 
+def _vma_of(*arrays):
+    """Union of the inputs' varying-mesh-axes sets (shard_map
+    check_vma): pallas_call out_shapes must declare how outputs vary,
+    and they vary exactly like the ray inputs. Empty outside
+    shard_map."""
+    vma = frozenset()
+    for a in arrays:
+        vma |= getattr(jax.typeof(a), "vma", None) or frozenset()
+    return vma
+
+
 def _pad128(a):
     """Pad the trailing dim to a 128 multiple (DMA slice alignment)."""
     pad = (-a.shape[-1]) % 128
@@ -889,7 +900,8 @@ def _trace_opaque_vmem_impl(rays8, cluster_tris, visits, counts, entries,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=tuple(
-            jax.ShapeDtypeStruct((nbp, BLOCK_RAYS // 128, 128), dt)
+            jax.ShapeDtypeStruct((nbp, BLOCK_RAYS // 128, 128), dt,
+                                 vma=_vma_of(rays8, ivals, entries_p))
             for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
                        jnp.float32)
         ),
@@ -996,7 +1008,8 @@ def _shadow_vmem_impl(rays8, cluster_tris, visits, counts, entries,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((nbp, BLOCK_RAYS // 128, 128),
-                                       jnp.int32),
+                                       jnp.int32,
+                                       vma=_vma_of(rays8, ivals, entries_p)),
         interpret=interpret,
     )(ivals, entries_p, rays8, cluster_tris)
     return blocked.reshape(nbp * BLOCK_RAYS)[: n_blocks * BLOCK_RAYS]
@@ -1040,7 +1053,8 @@ def _trace_opaque_pallas_impl(rays8, cluster_tris, visits, counts, entries,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), dt)
+            jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128), dt,
+                                 vma=_vma_of(rays8, ivals, entries))
             for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
                        jnp.float32)
         ),
@@ -1279,7 +1293,8 @@ def _shadow_pallas_impl(rays8, cluster_tris, visits, counts, entries,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_blocks, BLOCK_RAYS // 128, 128),
-                                       jnp.int32),
+                                       jnp.int32,
+                                       vma=_vma_of(rays8, ivals, entries)),
         interpret=interpret,
     )(ivals, entries, rays8, cluster_tris)
     return blocked.reshape(n)

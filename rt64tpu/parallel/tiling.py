@@ -49,12 +49,19 @@ def shard_config(cfg: fg.RenderConfig, n_devices: int) -> fg.RenderConfig:
     )
 
 
-def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0):
+def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0,
+                   check_vma: bool = True):
     """Build the sharded frame function.
 
     Returns fn(sb, gp, history, bn_table, bg_planes) -> FrameOutputs
     where history arrives replicated-full and per-pixel outputs come
     back row-sharded (their global views are full-image arrays).
+
+    check_vma=False is needed only for cfg.pallas_interpret runs: the
+    Pallas INTERPRETER discharges kernels to dynamic_slice over block
+    ids whose vma is empty while the operands vary, which the checker
+    rejects (the compiled TPU path carries explicit out_shape vma and
+    keeps the check on).
     """
     n_dev = mesh.devices.size
     shard_cfg = shard_config(cfg, n_dev)
@@ -111,10 +118,11 @@ def sharded_render(mesh: Mesh, cfg: fg.RenderConfig, visualization_mode: int = 0
         mesh=mesh,
         in_specs=(rep, rep, hist_in, rep, rep),
         out_specs=out_specs,
-        # Varying-axis checking is ON: scan/fori carry inits that are
-        # per-device data are annotated with vecmath.pvary at their
-        # definition sites, so shard_map statically validates the frame.
-        check_vma=True,
+        # Varying-axis checking is ON (unless interpret — see above):
+        # scan/fori carry inits that are per-device data are annotated
+        # with vecmath.pvary at their definition sites, so shard_map
+        # statically validates the frame.
+        check_vma=check_vma,
     )
     return jax.jit(fn)
 

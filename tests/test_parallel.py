@@ -76,7 +76,10 @@ def test_pallas_tracer_sharded_interpret(sharded_setup):
         r._sb, gp, hist, r.bn_table, bg
     )
     mesh = tiling.make_mesh(jax.devices()[:8])
-    fn = tiling.sharded_render(mesh, pcfg)
+    # check_vma off: the Pallas INTERPRETER's internal block
+    # dynamic_slice has empty-vma indices that the checker rejects;
+    # the compiled kernels keep it on (tiling.sharded_render default).
+    fn = tiling.sharded_render(mesh, pcfg, check_vma=False)
     multi = fn(r._sb, gp, fg.History.zeros(pcfg.rt_height, pcfg.rt_width),
                r.bn_table, bg)
     assert int(np.asarray(single.alpha_dropped)) == 0
