@@ -780,7 +780,12 @@ class Inspector:
     def _draw_light_gizmos(self, scene: "Scene", view: "View"):
         """Im3d light-sphere gizmo analog (rt64_inspector.cpp:311-353):
         overlays a ring at each light's projected position on the
-        retained framebuffer (debug path, host-side)."""
+        retained framebuffer (debug path, host-side).
+
+        Occlusion dither (Im3DPS.hlsl:9-26): where the scene's primary
+        hit lies closer than the gizmo, only every other checkerboard
+        pixel draws, at half opacity — the gizmo reads as 'behind'
+        without a depth buffer blend."""
         from rt64tpu.ops import math3d
 
         fb = view._framebuffer
@@ -791,6 +796,31 @@ class Inspector:
             view.fov_radians, w / h, view.near_dist, view.far_dist
         )
         vp = view.view_matrix @ proj
+        eye = np.linalg.inv(view.view_matrix.astype(np.float64))[3, :3]
+
+        # Scene hit distance per rt pixel (inf at misses), fetched from
+        # the presented frame's retained g-buffers — the gHitDistAndFlow
+        # read of Im3DPS.hlsl:13.
+        occl = None
+        rt_h = rt_w = 0
+        r = getattr(view, "_renderer", None)
+        src = getattr(r, "_pick_src", None) if r is not None else None
+        if src is not None:
+            import jax.numpy as _jnp
+
+            from rt64tpu.pipeline import framegraph as _fg
+
+            out, cfg = src
+            pos = np.asarray(_fg.to_image(cfg, out.gbuffers.position))
+            inst = np.asarray(_fg.to_image(
+                cfg, out.gbuffers.instance.astype(_jnp.float32)
+            ))
+            dist = np.linalg.norm(
+                pos.transpose(1, 2, 0) - eye[None, None, :], axis=-1
+            )
+            occl = np.where(inst >= 0, dist, np.inf)
+            rt_h, rt_w = occl.shape
+
         for light in scene.lights:
             clip = math3d.transform_points_h(
                 np.asarray(light.position, np.float32), vp
@@ -809,7 +839,23 @@ class Inspector:
             ring = np.abs(np.hypot(xx, yy) - rad) < 1.0
             ys = np.clip(sy + yy[ring], 0, h - 1)
             xs = np.clip(sx + xx[ring], 0, w - 1)
-            fb[ys, xs, :3] = color
+            if occl is not None:
+                gizmo_dist = float(np.linalg.norm(
+                    np.asarray(light.position, np.float64) - eye
+                ))
+                oy = np.clip(ys * rt_h // h, 0, rt_h - 1)
+                ox = np.clip(xs * rt_w // w, 0, rt_w - 1)
+                occluded = occl[oy, ox] < gizmo_dist
+                # clip(fmod(x + y, 2) - 1): only odd-parity pixels
+                # survive when occluded, at alpha 0.5.
+                keep = ~occluded | (((xs + ys) % 2) == 1)
+                alpha = np.where(occluded, 0.5, 1.0)[keep, None]
+                ys_k, xs_k = ys[keep], xs[keep]
+                fb[ys_k, xs_k, :3] = (
+                    fb[ys_k, xs_k, :3] * (1.0 - alpha) + color * alpha
+                ).astype(np.uint8)
+            else:
+                fb[ys, xs, :3] = color
 
 
 # Packed light layout (columns), matching LightInfo (Lights.hlsli:9-19):

@@ -77,6 +77,29 @@ def _remap(x, size, mode):
     )
 
 
+QPR = 32  # quads per 128-lane wide gather row
+
+
+def _gather_quads(pool, flat):
+    """(N, 4) u32 quad rows of the pool at indices `flat`.
+
+    The naive (P, 4) row gather tiles its 4-lane rows to the 128-lane
+    tile, so every gathered row moves a full tile of mostly padding —
+    profiled 2.1 ms/frame at 480p. Gathering 128-lane WIDE rows
+    (QPR=32 quads each) and selecting the quad in-row moves only real
+    data; the select is a one-hot mask + 32-way sum on the VPU.
+    """
+    p = pool.shape[0]
+    if p % QPR:
+        return pool[flat]
+    rows = pool.reshape(p // QPR, QPR * 4)[flat // QPR]  # (N, 128)
+    q = jnp.mod(flat, QPR)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, QPR), 1) == q[:, None]
+    return jnp.where(
+        sel[..., None], rows.reshape(-1, QPR, 4), jnp.uint32(0)
+    ).sum(axis=1, dtype=jnp.uint32)
+
+
 def _unpack(u32):
     """(4, N) u32 -> (4 corners, 4 rgba, N) float in [0,1]."""
     r = (u32 & 0xFF).astype(jnp.float32)
@@ -139,7 +162,7 @@ def sample_quad_cols(pool, offset, w, h, valid, u, v, filter_linear,
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
     flat = jnp.clip(offset + y0 * w + x0, 0, pool.shape[0] - 1)
 
-    quads = pool[flat]  # (N, 4) u32 — THE gather
+    quads = _gather_quads(pool, flat)  # (N, 4) u32 — THE gather
     c = _unpack(quads.T)  # (4 corners, 4 rgba, N)
     c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
 

@@ -130,7 +130,36 @@ def test_inspector_console_dump_and_gizmos(tmp_path):
     assert os.path.exists(str(tmp_path) + "/frame_00000.png")
 
 
-def test_camera_control_perspective():
+def test_gizmo_occlusion_dither():
+    """A light gizmo BEHIND scene geometry draws dithered at half
+    opacity (Im3DPS.hlsl:9-26): only odd-parity checkerboard pixels
+    change, and those move less than a full overwrite would."""
+    import rt64tpu
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    dev, scene, view = build_sample_scene(width=64, height=48)
+    insp = rt64tpu.Inspector(dev)
+    dev.draw()
+    # Find a hit pixel near screen center and push the light behind it.
+    inst_plane = view._renderer.instance_plane()
+    ys, xs = np.nonzero(inst_plane >= 0)
+    assert len(ys) > 0
+    # Eye + the hit direction, extended far past the geometry.
+    eye = np.linalg.inv(view.view_matrix.astype(np.float64))[3, :3]
+    light = scene.lights[0]
+    center = np.asarray(
+        view._renderer._last.gbuffers.position
+    ).mean(axis=1)
+    light.position = tuple(eye + (center - eye) * 20.0)
+
+    insp.show_light_gizmos = True
+    before = view.framebuffer()[..., :3].copy()
+    insp.render()
+    after = view.framebuffer()[..., :3]
+    changed = np.nonzero((before != after).any(axis=-1))
+    assert len(changed[0]) > 0  # gizmo drew something
+    # Occluded dither: every changed pixel has odd parity.
+    assert (((changed[0] + changed[1]) % 2) == 1).all()
     from rt64tpu.utils.testscenes import build_sample_scene
     from rt64tpu.ops import math3d
 
