@@ -80,24 +80,54 @@ def _remap(x, size, mode):
 QPR = 32  # quads per 128-lane wide gather row
 
 
-def _gather_quads(pool, flat):
-    """(N, 4) u32 quad rows of the pool at indices `flat`.
+def pack_pool_wide(pool_np):
+    """(P, 4) u32 quad pool -> CORNER-MAJOR wide rows (P/QPR, 4*QPR):
+    row r, lane c*QPR + j holds corner c of quad r*QPR + j. Done once
+    at upload (scene_buffers): the narrow (P, 4) row gather tiles its
+    4-lane rows to the 128-lane tile, so every gathered row moved a
+    full tile of mostly padding — profiled 2.1 ms/frame at 480p. Wide
+    rows gather only real data, and the corner-major grouping makes the
+    in-row quad select four contiguous 32-lane one-hot sums (no 3D
+    reshape for XLA to materialize)."""
+    p = pool_np.shape[0]
+    assert p % QPR == 0, p
+    return (
+        pool_np.reshape(p // QPR, QPR, 4)
+        .transpose(0, 2, 1)
+        .reshape(p // QPR, 4 * QPR)
+    )
 
-    The naive (P, 4) row gather tiles its 4-lane rows to the 128-lane
-    tile, so every gathered row moves a full tile of mostly padding —
-    profiled 2.1 ms/frame at 480p. Gathering 128-lane WIDE rows
-    (QPR=32 quads each) and selecting the quad in-row moves only real
-    data; the select is a one-hot mask + 32-way sum on the VPU.
-    """
-    p = pool.shape[0]
-    if p % QPR:
-        return pool[flat]
-    rows = pool.reshape(p // QPR, QPR * 4)[flat // QPR]  # (N, 128)
-    q = jnp.mod(flat, QPR)
-    sel = jax.lax.broadcasted_iota(jnp.int32, (1, QPR), 1) == q[:, None]
-    return jnp.where(
-        sel[..., None], rows.reshape(-1, QPR, 4), jnp.uint32(0)
-    ).sum(axis=1, dtype=jnp.uint32)
+
+def pool_quad_count(pool) -> int:
+    """Number of quad entries for either pool layout."""
+    if pool.ndim == 2 and pool.shape[1] == 4 * QPR:
+        return pool.shape[0] * QPR
+    return pool.shape[0]
+
+
+def _gather_quads(pool, flat):
+    """(4 corners, N) u32 of the pool quads at indices `flat`.
+
+    Wide layout (pack_pool_wide): one 128-lane row gather + four
+    32-lane one-hot sums on the VPU. Legacy (P, 4) layout: plain row
+    gather (used by hosts that hand-build small pools)."""
+    if pool.ndim == 2 and pool.shape[1] == 4 * QPR:
+        rows = pool[flat // QPR]  # (N, 4*QPR)
+        q = jnp.mod(flat, QPR)
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, QPR), 1) == q[:, None]
+        )
+        zero = jnp.uint32(0)
+        return jnp.stack(
+            [
+                jnp.where(sel, rows[:, c * QPR : (c + 1) * QPR], zero).sum(
+                    axis=1, dtype=jnp.uint32
+                )
+                for c in range(4)
+            ],
+            axis=0,
+        )
+    return pool[flat].T
 
 
 def _unpack(u32):
@@ -160,10 +190,10 @@ def sample_quad_cols(pool, offset, w, h, valid, u, v, filter_linear,
     fy = y - y0f
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    flat = jnp.clip(offset + y0 * w + x0, 0, pool.shape[0] - 1)
+    flat = jnp.clip(offset + y0 * w + x0, 0, pool_quad_count(pool) - 1)
 
-    quads = _gather_quads(pool, flat)  # (N, 4) u32 — THE gather
-    c = _unpack(quads.T)  # (4 corners, 4 rgba, N)
+    quads = _gather_quads(pool, flat)  # (4, N) u32 — THE gather
+    c = _unpack(quads)  # (4 corners, 4 rgba, N)
     c00, c10, c01, c11 = c[0], c[1], c[2], c[3]
 
     bilinear = (

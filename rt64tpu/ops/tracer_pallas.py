@@ -69,6 +69,11 @@ BLOCK_RAYS = 512  # rays per kernel program (4 sublane rows of 128)
 GROUP_CLUSTERS = 8  # clusters per mid-level AABB group (two-level culling)
 SUPER_BLOCKS = 4  # ray blocks walked per kernel program (VMEM kernels)
 VISIT_UNROLL = 4  # 64-tri visits per while-loop iteration (VMEM kernels)
+SHADOW_UNROLL = 8  # shadow-kernel visits per iteration: occlusion blocks
+# run longer lists (p90 ~3x the primary population's) and their
+# division-free tail is ~half the ops, so coarser early-exit checks win
+# (kernelab.py: 5.89 -> 5.58 ms on the captured castle shadow batch;
+# the primary kernel measured WORSE at 8 from pad-visit waste).
 # Clusters live wholly in VMEM when the table fits comfortably (scene
 # up to ~87k triangles); beyond that the kernel falls back to the
 # double-buffered HBM DMA walk. VMEM is ~16 MB/core; 4 MB leaves room
@@ -828,7 +833,8 @@ def _kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref, t_ref,
             bias_ref[s] = pick(b_best).reshape(shape3)[0]
 
 
-def _prep_super(rays8, visits, counts, entries, super_blocks: int):
+def _prep_super(rays8, visits, counts, entries, super_blocks: int,
+                unroll: int = VISIT_UNROLL):
     """Pad to a super-block multiple and lay the visit tables out as
     (programs, super_blocks, row): count + visit ids ride one DMA; the
     id row is padded with the pad-cluster id `nc` so the unrolled walk
@@ -839,7 +845,7 @@ def _prep_super(rays8, visits, counts, entries, super_blocks: int):
     pad_b = (-n_blocks) % super_blocks
     ivals = jnp.concatenate(
         [counts[:, None], visits,
-         jnp.full((n_blocks, VISIT_UNROLL), nc, jnp.int32)], axis=1
+         jnp.full((n_blocks, unroll), nc, jnp.int32)], axis=1
     )
     pad_cols = (-ivals.shape[1]) % 128
     if pad_cols:
@@ -872,7 +878,7 @@ def _trace_opaque_vmem_impl(rays8, cluster_tris, visits, counts, entries,
                             super_blocks: int = SUPER_BLOCKS):
     nv = visits.shape[1]
     rays8, ivals, entries_p, n_blocks, nbp = _prep_super(
-        rays8, visits, counts, entries, super_blocks
+        rays8, visits, counts, entries, super_blocks, VISIT_UNROLL
     )
     kern = functools.partial(_kernel_vmem, cull_backface=cull_backface,
                              nc=nv, super_blocks=super_blocks)
@@ -946,7 +952,7 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
 
         def body(carry):
             i, blocked_n, worst, bl = carry
-            for k in range(0, VISIT_UNROLL, 2):
+            for k in range(0, SHADOW_UNROLL, 2):
                 cid0 = ivals_ref[s, 1 + i + k]
                 cid1 = ivals_ref[s, 1 + i + k + 1]
                 hit = _woop_pair_occl(
@@ -955,10 +961,7 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
                 bl = jnp.maximum(bl, jnp.where(hit, 1.0, 0.0))
             row_blocked = bl.max(axis=1, keepdims=True)
             blocked_n = row_blocked.sum()
-            # Farthest t_max among still-unblocked rays: clusters
-            # entirely beyond it can't block anything that matters.
-            worst = jnp.max(tmax * (1.0 - row_blocked))
-            return (i + VISIT_UNROLL, blocked_n, worst, bl)
+            return (i + SHADOW_UNROLL, blocked_n, worst, bl)
 
         @pl.when(count == 0)
         def _():
@@ -984,7 +987,7 @@ def _shadow_vmem_impl(rays8, cluster_tris, visits, counts, entries,
                       interpret: bool, super_blocks: int = SUPER_BLOCKS):
     nv = visits.shape[1]
     rays8, ivals, entries_p, n_blocks, nbp = _prep_super(
-        rays8, visits, counts, entries, super_blocks
+        rays8, visits, counts, entries, super_blocks, SHADOW_UNROLL
     )
     kern = functools.partial(_shadow_kernel_vmem, nc=nv,
                              super_blocks=super_blocks)

@@ -512,8 +512,16 @@ class ScenePacker:
         rf_rows, rf_count = self._pack_raster(instances, raster_fg or [])
 
         if getattr(self, "_dev_quads", None) is None:
+            from rt64tpu.ops import texture as _tex
+
+            pool_np = self._np["quad_pool"]
+            if pool_np.shape[0] % _tex.QPR == 0:
+                # Corner-major wide rows: one full-lane gather row per
+                # bilinear fetch instead of a 4-lane row padded to the
+                # 128-lane tile (texture.pack_pool_wide).
+                pool_np = _tex.pack_pool_wide(pool_np)
             self._dev_quads = dict(
-                quad_pool=jnp.asarray(self._np["quad_pool"]),
+                quad_pool=jnp.asarray(pool_np),
                 quad_records=jnp.asarray(self._np["quad_records"]),
             )
         # Static feature summary (ShadeFeatures docstring): what this
