@@ -345,24 +345,27 @@ def _fresnel(normal, incident, reflectivity, fresnel_multiplier):
     return reflectivity + (1.0 - reflectivity) * ret * fresnel_multiplier
 
 
-def _opaque_fn(cfg):
+def _opaque_fn(cfg, regroup=None):
     """Traversal backend per config: the Pallas packet kernel or None
-    (the XLA scan)."""
+    (the XLA scan). regroup ("dir"/"origin") sorts incoherent ray
+    populations into coherent packet blocks (tracer_pallas._regroup_order)."""
     if cfg.use_pallas_tracer:
         from rt64tpu.ops import tracer_pallas
 
-        return tracer_pallas.make_opaque_fn(interpret=cfg.pallas_interpret)
+        return tracer_pallas.make_opaque_fn(
+            interpret=cfg.pallas_interpret, regroup=regroup
+        )
     return None
 
 
-def _shadow_fn(cfg):
+def _shadow_fn(cfg, regroup=None):
     """Occlusion backend for shadow rays: the early-exit any-hit kernel
-    (ACCEPT_FIRST_HIT_AND_END_SEARCH analog) or None (XLA scan)."""
+    (ACCEPT_FIRST_HIT_AND_END_SEARCH analog) or None (the XLA scan)."""
     if cfg.use_pallas_tracer:
         from rt64tpu.ops import tracer_pallas
 
         return tracer_pallas.make_shadow_opaque_fn(
-            interpret=cfg.pallas_interpret
+            interpret=cfg.pallas_interpret, regroup=regroup
         )
     return None
 
@@ -411,7 +414,7 @@ def _scatter_carry(full, comp, idx):
 def _fold_shaded_slots(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
     noise_rand, cfg, make_carry, slot_fn, cull_backface=True, aux=(),
-    mip_diffs=None,
+    mip_diffs=None, regroup=None,
 ):
     """Trace, then fold slot_fn front-to-back over the K+1 ordered hit
     slots (alpha..., opaque last).
@@ -453,7 +456,7 @@ def _fold_shaded_slots(
         t_op, tri_op, uv_op, t_opb = tracer.trace_opaque_only(
             origins, dirs, t_min, t_max, trace_scene,
             cull_backface=cull_backface, chunk=cfg.tri_chunk,
-            opaque_fn=_opaque_fn(cfg),
+            opaque_fn=_opaque_fn(cfg, regroup),
         )
         ac = tracer.trace_alpha_to_compact(
             origins, dirs, t_min, t_max, trace_scene, k_alpha,
@@ -482,7 +485,7 @@ def _fold_shaded_slots(
     hits = tracer.trace(
         origins, dirs, t_min, t_max, trace_scene,
         k_alpha=k_alpha, cull_backface=cull_backface, chunk=cfg.tri_chunk,
-        opaque_fn=_opaque_fn(cfg),
+        opaque_fn=_opaque_fn(cfg, regroup),
         alpha_compact=cap,
     )
     carry = make_carry(origins, dirs, aux)
@@ -830,7 +833,7 @@ def direct_pass(
 
 def _simple_resolve_fold(
     sb, tri_rows, trace_scene, origins, dirs, t_min, t_max, k_alpha,
-    noise_rand, cfg,
+    noise_rand, cfg, regroup=None,
 ):
     """Fused trace+shade+resolve for secondary rays
     (IndirectRayGen.hlsl:95-117): accumulate color front-to-back,
@@ -867,7 +870,7 @@ def _simple_resolve_fold(
     ((res_a, res_rgb, res_pos, res_nrm, res_spec, res_tri, res_inst),
      dropped) = _fold_shaded_slots(
         sb, tri_rows, trace_scene, origins, dirs, t_min, t_max,
-        k_alpha, noise_rand, cfg, make_carry, slot_body,
+        k_alpha, noise_rand, cfg, make_carry, slot_body, regroup=regroup,
     )
     res_row = _row_of(tri_rows, res_tri, res_inst >= 0)
     return (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
@@ -911,7 +914,7 @@ def indirect_pass(
         (res_rgb, res_a, res_pos, res_nrm, res_spec, res_inst, res_row,
          gi_drop) = _simple_resolve_fold(
             sb, tri_rows, trace_scene, origin, ray_dir, t_min, t_max,
-            cfg.k_secondary, noise_rand, cfg,
+            cfg.k_secondary, noise_rand, cfg, regroup="dir",
         )
 
         bg = sky.sample_background_env(bg_planes, ray_dir)
@@ -929,7 +932,7 @@ def indirect_pass(
             ray_dir, res_pos, res_nrm, res_spec, ctx,
             max_light_count=1, di_samples=cfg.di_samples, check_shadows=True,
             noise_rand=noise_rand, shadow_k_alpha=cfg.k_shadow,
-            opaque_fn=_shadow_fn(cfg),
+            opaque_fn=_shadow_fn(cfg, regroup="origin"),
             alpha_compact=max(1024, (res_pos.shape[1] // 32) * cfg.alpha_shade_boost),
             shade_boost=cfg.alpha_shade_boost,
         )

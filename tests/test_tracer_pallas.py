@@ -144,3 +144,41 @@ def test_visit_lists_front_to_back():
         assert np.all(visits[b, c:] == nc)
         assert np.all(np.diff(entry[b, :c]) >= 0.0)  # sorted ascending
         assert len(set(visits[b, :c])) == c  # unique cluster ids
+
+
+@pytest.mark.parametrize("mode", ["dir", "origin"])
+def test_regroup_parity(mode):
+    """Regrouped (coherence-sorted) tracing is bit-identical to the
+    unsorted packet tracer: the permutation only changes which rays
+    share a block, and every sub-block decision is per-ray
+    (tracer_pallas._regroup_order)."""
+    rng = np.random.default_rng(11)
+    scene = _random_scene(rng)
+    origins, dirs, t_min, t_max = _random_rays(rng, n=700)
+    # Dead rays (empty interval) must sort last and still come back
+    # in place.
+    t_max = jnp.asarray(
+        np.where(rng.uniform(size=700) < 0.3, -1.0, np.asarray(t_max))
+    )
+    base = tp.make_opaque_fn(interpret=True)
+    reg = tp.make_opaque_fn(interpret=True, regroup=mode)
+    t0, tri0, uv0, b0 = jax.jit(
+        lambda: base(origins, dirs, t_min, t_max, scene)
+    )()
+    t1, tri1, uv1, b1 = jax.jit(
+        lambda: reg(origins, dirs, t_min, t_max, scene)
+    )()
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(uv0), np.asarray(uv1))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+
+    sbase = tp.make_shadow_opaque_fn(interpret=True)
+    sreg = tp.make_shadow_opaque_fn(interpret=True, regroup=mode)
+    _, trib0, _, _ = jax.jit(
+        lambda: sbase(origins, dirs, t_min, t_max, scene)
+    )()
+    _, trib1, _, _ = jax.jit(
+        lambda: sreg(origins, dirs, t_min, t_max, scene)
+    )()
+    np.testing.assert_array_equal(np.asarray(trib0), np.asarray(trib1))
