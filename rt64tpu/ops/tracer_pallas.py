@@ -1437,5 +1437,8 @@ def make_shadow_opaque_fn(interpret: bool = False, regroup=None):
         return t, tri, uv, jnp.zeros((n,), jnp.float32)
 
     if regroup:
+        # NOT _regrouped_occl-style single-plane inverses: a lone (n,)
+        # gather profiled WORSE (3.5 ms) than the stacked 5-plane one
+        # (2.5 ms) — multi-row gathers amortize the per-row granule.
         return _regrouped(opaque_fn, regroup)
     return opaque_fn
