@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--gi", type=int, default=0)
     ap.add_argument("--reflections", type=int, default=0)
     ap.add_argument("--upscaler", type=int, default=0)
+    ap.add_argument("--mode", type=int, default=0,
+                    help="upscaler_mode (descriptors: 2=performance)")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/frameprof")
@@ -58,6 +60,8 @@ def main():
     view.max_reflections = args.reflections
     if args.upscaler:
         view.desc.upscaler = args.upscaler
+        if args.mode:
+            view.desc.upscaler_mode = args.mode
     view.update()
     r = view._renderer
     cfg = r._config()

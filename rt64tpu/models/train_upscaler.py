@@ -25,14 +25,17 @@ from rt64tpu.models import learned_upscaler as lu
 
 
 def render_pairs(n: int, scene_kind="sample", lo=(96, 128), hi=(192, 256),
-                 seed0=0):
+                 seed0=0, gi=0):
     """Render n (inputs, target) pairs from randomized cameras.
 
     scene_kind "sample" orbits the sphere+floor scene; "castle" orbits
-    the castle-grounds analog (the BASELINE workload the model serves).
-    Each (kind, resolution) scene is built ONCE and only the camera
-    moves between renders — one jitted frame per configuration instead
-    of a rebuild per pair.
+    the castle-grounds analog (the BASELINE workload the model serves);
+    gi=1 renders a castle variant with one-bounce GI (different
+    lighting statistics in both input and target). Cameras jitter in
+    fov and look-target as well as orbit position. Each (kind,
+    resolution) scene is built ONCE and only the camera moves between
+    renders — one jitted frame per configuration instead of a rebuild
+    per pair.
     """
     from rt64tpu.ops import math3d
 
@@ -42,11 +45,12 @@ def render_pairs(n: int, scene_kind="sample", lo=(96, 128), hi=(192, 256),
             from rt64tpu.utils.castle_scene import build_castle_scene
 
             dev, scene, view = build_castle_scene(width=w, height=h,
-                                                  gi_samples=0)
+                                                  gi_samples=gi)
         else:
             from rt64tpu.utils.testscenes import build_sample_scene
 
-            dev, scene, view = build_sample_scene(width=w, height=h)
+            dev, scene, view = build_sample_scene(width=w, height=h,
+                                                  gi_samples=gi)
         views[tag] = (dev, view)
 
     rng = np.random.default_rng(seed0)
@@ -57,16 +61,19 @@ def render_pairs(n: int, scene_kind="sample", lo=(96, 128), hi=(192, 256),
         if scene_kind == "castle":
             height = rng.uniform(8.0, 20.0)
             dist = rng.uniform(40.0, 80.0)
-            target_pt = (0.0, 6.0, 0.0)
+            target_pt = (rng.uniform(-4, 4), 6.0 + rng.uniform(-2, 2),
+                         rng.uniform(-4, 4))
         else:
             height = rng.uniform(2.0, 5.0)
             dist = rng.uniform(7.0, 11.0)
-            target_pt = (0.0, 1.2, 0.0)
+            target_pt = (rng.uniform(-1, 1), 1.2 + rng.uniform(-0.5, 0.5),
+                         rng.uniform(-1, 1))
         eye = (dist * np.sin(angle), height, dist * np.cos(angle))
         vm = math3d.look_at_rh(eye, target_pt, (0.0, 1.0, 0.0))
+        fov = rng.uniform(38.0, 52.0) * np.pi / 180.0
         frames = {}
         for tag, (dev, view) in views.items():
-            view.set_perspective(vm, 45.0 * np.pi / 180.0, 0.1, 1000.0, True)
+            view.set_perspective(vm, fov, 0.1, 1000.0, True)
             dev.draw()
             frames[tag] = view._renderer._last
         g = frames["lo"].gbuffers
@@ -150,9 +157,14 @@ def main():
                       for k in ("rt_color", "depth", "flow", "reactive")}
             batch.append((inputs, z[f"{i}_target"]))
     else:
-        print(f"rendering {args.pairs} sample + {args.pairs} castle pairs...")
+        print(f"rendering {args.pairs} sample + {args.pairs} castle + "
+              f"{args.pairs} castle-GI pairs...")
         batch = render_pairs(args.pairs, scene_kind="sample", seed0=7)
         batch += render_pairs(args.pairs, scene_kind="castle", seed0=1007)
+        # Third corpus axis: one-bounce GI castle — different lighting
+        # statistics (soft indirect fill, sky bleed) in input + target.
+        batch += render_pairs(args.pairs, scene_kind="castle", seed0=2007,
+                              gi=1)
         if args.data:
             flat = {"n": np.int32(len(batch))}
             for i, (inputs, target) in enumerate(batch):
@@ -162,11 +174,12 @@ def main():
             np.savez(args.data, **flat)
             print("cached pairs to", args.data)
     # Hold out the last pair of each kind for the SSIM report. The kind
-    # boundary is derived from the actual dataset size (a cached .npz may
-    # have been produced with a different --pairs), so the held-out pairs
-    # are never ones the model trains on.
-    half = len(batch) // 2
-    heldout = [batch.pop(half - 1), batch.pop()]
+    # boundaries are derived from the actual dataset size (a cached .npz
+    # may have been produced with a different --pairs), so the held-out
+    # pairs are never ones the model trains on.
+    third = len(batch) // 3
+    heldout = [batch.pop(3 * third - 1), batch.pop(2 * third - 1),
+               batch.pop(third - 1)]
     dh, dw = batch[0][1].shape[1:]
 
     params = lu.get_params()

@@ -877,6 +877,16 @@ def _simple_resolve_fold(
             dropped)
 
 
+def _background_env(sb, bg_planes, ray_dir):
+    """SampleBackgroundAsEnvMap for bounce-miss rays, statically
+    elided when the scene has no raster background: bg_planes is then
+    the black base and the per-ray env gather returns zeros — at 4K
+    internal it profiled 171 ms/frame of zero-gathering (config 5)."""
+    if sb.features.has_raster_bg:
+        return sky.sample_background_env(bg_planes, ray_dir)
+    return jnp.zeros((3, ray_dir.shape[1]))
+
+
 def indirect_pass(
     sb, tri_rows, trace_scene, cfg, gp, g: GBuffers, hist: History,
     pix, bn_table, noise_rand, bg_planes, row_offset=0,
@@ -917,7 +927,7 @@ def indirect_pass(
             cfg.k_secondary, noise_rand, cfg, regroup="dir",
         )
 
-        bg = sky.sample_background_env(bg_planes, ray_dir)
+        bg = _background_env(sb, bg_planes, ray_dir)
         sky_c = sky.sample_sky_plane(
             sb.quad_pool, sb.quad_records,
             jnp.broadcast_to(gp.sky_plane_rec, (n,)), ray_dir,
@@ -1144,7 +1154,7 @@ def _reflection_impl(
     active = (inst_id >= 0) & (refl_a > EPSILON)
     ray_dir = vm.reflect(view_dir, sh_nrm)
 
-    bg = sky.sample_background_env(bg_planes, ray_dir)
+    bg = _background_env(sb, bg_planes, ray_dir)
     sky_c = sky.sample_sky_plane(
         sb.quad_pool, sb.quad_records,
         jnp.broadcast_to(gp.sky_plane_rec, (n,)), ray_dir,
@@ -1311,16 +1321,19 @@ def render_frame(
         bg_planes = jax.lax.dynamic_slice_in_dim(bg_planes, row_offset, h, axis=1)
 
     # Raster background pass (rt64_view.cpp:1292-1319): composited over
-    # the host-provided plane; rays sample the result.
-    bg_rgba = jnp.concatenate(
-        [from_image(cfg, bg_planes), jnp.ones((1, n))], 0
-    )
-    bg_rgba = raster.rasterize(
-        bg_rgba, sb.raster_bg, sb.raster_bg_count, sb.instance_rows,
-        sb.quad_pool, sb.quad_records, w, h, noise_rand, pix=pix,
-        row_offset=row_offset,
-    )
-    bg_planes = to_image(cfg, bg_rgba[:3])
+    # the host-provided plane; rays sample the result. Statically
+    # elided with the rest of the background machinery when the scene
+    # has no raster-background triangles (ShadeFeatures.has_raster_bg).
+    if sb.features.has_raster_bg:
+        bg_rgba = jnp.concatenate(
+            [from_image(cfg, bg_planes), jnp.ones((1, n))], 0
+        )
+        bg_rgba = raster.rasterize(
+            bg_rgba, sb.raster_bg, sb.raster_bg_count, sb.instance_rows,
+            sb.quad_pool, sb.quad_records, w, h, noise_rand, pix=pix,
+            row_offset=row_offset,
+        )
+        bg_planes = to_image(cfg, bg_rgba[:3])
 
     # Background + sky (PrimaryRayGen.hlsl:47-56). The sky-plane uv is
     # a function of the GLOBAL screen position (sv); the raster
@@ -1331,9 +1344,12 @@ def render_frame(
     # shift of the band-local plane (pure elementwise) and the sky-plane
     # uv is affine in screen position, so it rides two banded matmuls
     # (ops/sky.sample_sky_2d_grid) instead of per-pixel pool gathers.
-    bg_color = sky.sample_background_grid(
-        bg_planes, gp.pixel_jitter[0], gp.pixel_jitter[1]
-    )
+    if sb.features.has_raster_bg:
+        bg_color = sky.sample_background_grid(
+            bg_planes, gp.pixel_jitter[0], gp.pixel_jitter[1]
+        )
+    else:
+        bg_color = jnp.zeros((3, n))
     if sb.sky_plane is not None:
         sky_c = sky.sample_sky_2d_grid(
             sb.sky_plane, gp.sky_plane_rec, gp.pixel_jitter, gp.view_i,

@@ -59,6 +59,14 @@ class ShadeFeatures(NamedTuple):
     # rt64_device.cpp:758-762). Default False: the differential math
     # and per-level offset selection compile out of every stock scene.
     has_mips: bool = False
+    # Any raster-background triangles this frame. When False the
+    # background plane is statically the black base, so the raster
+    # composite, the fixed-grid background blend, AND the per-ray
+    # environment fetch (GI/reflection bounce misses) all compile out —
+    # at 4K internal the env fetch alone was 171 ms/frame of gathering
+    # zeros (rt64_view.cpp:1292-1319 draws nothing with an empty
+    # raster list too).
+    has_raster_bg: bool = True
 
 
 @jax.tree_util.register_pytree_node_class
@@ -562,6 +570,7 @@ class ScenePacker:
             has_texel1=has_t1,
             has_lit_transparent=has_lit_tl,
             has_mips=has_mips,
+            has_raster_bg=rb_count > 0,
         )
 
         return SceneBuffers(
