@@ -419,6 +419,10 @@ class AlphaCompact(NamedTuple):
     scatter their fold results back once."""
 
     idx: jax.Array  # (CAP,) source ray lane, == n for pad lanes
+    mask: jax.Array  # (N,) candidate mask (lane compacted iff mask &
+    # rank(mask) < CAP) — lets the scatter-back run gather-side
+    # (framegraph._scatter_carry), since TPU scatter with runtime
+    # indices serializes
     origins: jax.Array  # (3, CAP) gathered ray origins
     dirs: jax.Array  # (3, CAP) gathered ray dirs
     noise: jax.Array  # (CAP,) gathered per-pixel noise
@@ -526,7 +530,7 @@ def trace_alpha_to_compact(
         t_cc = jnp.where(behind, _BIG, t_cc)
     t_true = jnp.where(tri_cc >= 0, t_cc + b_cc, _BIG)
     return AlphaCompact(
-        idx=idx, origins=o_c, dirs=d_c, noise=noise_c,
+        idx=idx, mask=ray_mask, origins=o_c, dirs=d_c, noise=noise_c,
         t=t_true, tri=tri_cc, uv=uv_cc, extra=extra_c,
         dropped=jnp.maximum(count - capacity, 0),
     )

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rt64tpu import descriptors as d
 from rt64tpu.ops import bluenoise, filters, fog, lighting, raster, sky, tracer
@@ -403,11 +404,44 @@ def _unpack_rows(packed, proto):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _scatter_carry(full, comp, idx):
-    """Scatter a compacted-space carry into its full-width counterpart
-    at ray lanes `idx` (pad lanes == n drop). ONE packed scatter."""
+def _prefix_rank(mask):
+    """Exclusive prefix count of a (N,) bool mask — lane j's slot in
+    the compact_indices ordering. Tiled onto the MXU: within-tile
+    exclusive prefixes are one (N/T, T) @ (T, T) strict-lower-triangular
+    matmul, cross-tile offsets a tiny cumsum — XLA's generic 1-D cumsum
+    lowers to a log-depth scan (~2 ms at 500k lanes), and TPU scatter
+    (the alternative inverse) serializes."""
+    t = 512
+    n = mask.shape[0]
+    pad = (-n) % t
+    m = mask
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad,), m.dtype)])
+    rows = m.reshape(-1, t).astype(jnp.float32)
+    lower = jnp.asarray(
+        np.tril(np.ones((t, t), np.float32), -1)
+    )  # pre[i] = sum_{j<i} row[j]
+    within = jnp.dot(rows, lower.T, preferred_element_type=jnp.float32)
+    tot = rows.sum(axis=1)
+    offs = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(tot)[:-1]])
+    return (within + offs[:, None]).reshape(-1)[:n].astype(jnp.int32)
+
+
+def _scatter_carry(full, comp, idx, mask=None):
+    """Merge a compacted-space carry into its full-width counterpart
+    at ray lanes `idx` (pad lanes == n drop). With the candidate `mask`
+    the merge runs GATHER-side: slot = prefix rank of the lane, fetch
+    the compacted row, select — TPU scatter with runtime indices
+    serializes (profiled 4-16 ms/frame at 720p/4K GI scale), while the
+    rank is an MXU matmul and the gather's indices are monotonic."""
     fp = _pack_rows(full)
     cp = _pack_rows(comp)
+    if mask is not None:
+        p = _prefix_rank(mask)
+        cap = cp.shape[1]
+        sel = mask & (p < cap)
+        got = cp[:, jnp.where(sel, p, 0)]
+        return _unpack_rows(jnp.where(sel[None], got, fp), full)
     return _unpack_rows(fp.at[:, idx].set(cp, mode="drop"), full)
 
 
@@ -472,7 +506,7 @@ def _fold_shaded_slots(
             carry_c = slot_fn(carry_c, sh_c, ac.t[:, s], ac.origins,
                               ac.dirs, ac.extra)
         carry = _scatter_carry(make_carry(origins, dirs, aux), carry_c,
-                               ac.idx)
+                               ac.idx, ac.mask)
         sh = shade_ops.shade_hits(
             sb, tri_rows, dirs, tri_op, uv_op[:, 0], uv_op[:, 1],
             noise_rand,
