@@ -208,10 +208,14 @@ def measure_streamed(scene_name, width, height, di, gi, reflections,
 
     for f in range(frames):  # warm: compile + capacity settle
         push(f)
+    # Timed reps repeat the warmed angle cycle: pushing NEW angles can
+    # step the alpha shade capacity mid-loop and put a ~2 min
+    # re-specialization compile inside the timed region (24x3 frames
+    # measured 0.51 fps that way — all compile).
     t0 = time.time()
     for rep in range(reps):
         for f in range(frames):
-            push(frames * (rep + 1) + f)
+            push(f)
     dt = (time.time() - t0) / (reps * frames)
     r = view._renderer
     return 1.0 / dt, r._config(), bool(r._sb.features.has_lit_transparent)
@@ -236,8 +240,53 @@ def measure_ssim(scene_name, width, height, di, gi, reflections,
             dev.draw()
         return np.asarray(view.framebuffer()[..., :3], np.float64) / 255.0
 
+    def native_banded(bands):
+        """Native reference rendered in horizontal bands: a full-pipeline
+        4K native frame needs ~25 GB of HBM peak (vs 15.75 on one v5e),
+        so reuse the row-tiling band contract (parallel/tiling.py)
+        sequentially on the one chip and stitch."""
+        from rt64tpu.parallel.tiling import shard_config
+
+        dev, scene, view = build(
+            scene_name, width, height, di, gi, reflections, "off", "auto",
+        )
+        r = view._renderer
+        cfg = r._config()
+        bcfg = shard_config(cfg, bands)
+        bg = r._background_planes(cfg)
+        gp0 = r._global_params(cfg)
+        band_n = bcfg.rt_height * bcfg.rt_width
+
+        fn = jax.jit(lambda sb, gp, h, bn, bg, off: fg.render_frame(
+            sb, gp, h, bn, bg, cfg=bcfg, row_offset=off))
+        hist = fg.History.zeros(cfg.rt_height, cfg.rt_width)
+        image = None
+        for f in range(frames):
+            gp = gp0._replace(frame_count=jnp.uint32(f))
+            outs = [
+                fn(r._sb, gp, hist, r.bn_table, bg,
+                   jnp.int32(b * bcfg.rt_height))
+                for b in range(bands)
+            ]
+            hist = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(
+                    leaves, axis=0 if leaves[0].ndim == 1 else 1
+                ),
+                *[o.history for o in outs],
+            )
+            image = np.concatenate(
+                [np.asarray(o.image) for o in outs], axis=1
+            )
+        img = np.clip(image, 0.0, 1.0)
+        return np.moveaxis(np.asarray(
+            np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8),
+            np.float64) / 255.0, 0, -1)
+
     prod = final_image(upscaler, mode)
-    native = final_image("off", "auto")
+    if width * height > 4_500_000:
+        native = native_banded(4)
+    else:
+        native = final_image("off", "auto")
     return float(ssim(prod, native, data_range=1.0))
 
 
