@@ -85,6 +85,13 @@ def _run(params, rt_color, depth, flow, reactive, dh: int, dw: int):
         dh, dw,
     )
     up = x[:3]
+    # NOTE (round 4): the raw world-scale depth plane makes training
+    # ill-conditioned (a fresh-init retrain explodes on the first
+    # optimizer step, loss 0.36 -> 1.5e6, then ReLU-collapses to a
+    # zero residual); input normalization experiments are in
+    # benchmarks/RESULTS.md. The shipped weights were trained against
+    # THIS raw-input contract, so it stays until a retrain lands
+    # weights that beat them.
     x = jnp.moveaxis(x, 0, -1)  # conv wants HWC
     residual = _model.apply(params, x)
     return up + jnp.moveaxis(residual, -1, 0)

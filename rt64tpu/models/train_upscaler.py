@@ -182,9 +182,17 @@ def main():
                batch.pop(third - 1)]
     dh, dw = batch[0][1].shape[1:]
 
-    params = lu.get_params()
-    opt = optax.adam(
-        optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+    # FRESH init (zero-init residual head), never the shipped weights:
+    # warm-starting from a previous corpus's optimum put step-0 loss
+    # at ~5.8 on a widened corpus, and the gradient spike
+    # ReLU-collapsed the net to a constant (loss frozen by step 5).
+    # Gradient clipping guards the same failure from rough batches.
+    params = lu._model.init(jax.random.PRNGKey(0), jnp.zeros((8, 8, 7)))
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(
+            optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+        ),
     )
     opt_state = opt.init(params)
     grad_fn = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, batch, dh, dw)))
