@@ -48,7 +48,7 @@ import numpy as np
 def build_scene(scene_key, width, height, upscaler, mode):
     import rt64tpu
     from rt64tpu import descriptors as d
-    from rt64tpu.utils import math3d
+    from rt64tpu.ops import math3d
 
     if scene_key == "glass":
         from rt64tpu.utils.testscenes import build_sample_scene
