@@ -156,30 +156,41 @@ def main():
             inputs = {k: z[f"{i}_{k}"]
                       for k in ("rt_color", "depth", "flow", "reactive")}
             batch.append((inputs, z[f"{i}_target"]))
+        # Per-pair corpus tags ride in the cache so the held-out split
+        # below never depends on how many kinds/pairs produced the file;
+        # legacy caches (no tags) fall back to equal thirds.
+        if "kinds" in z:
+            kinds = [str(k) for k in z["kinds"]]
+        else:
+            third = max(1, len(batch) // 3)
+            kinds = ["k%d" % (i // third) for i in range(len(batch))]
     else:
         print(f"rendering {args.pairs} sample + {args.pairs} castle + "
               f"{args.pairs} castle-GI pairs...")
         batch = render_pairs(args.pairs, scene_kind="sample", seed0=7)
+        kinds = ["sample"] * len(batch)
         batch += render_pairs(args.pairs, scene_kind="castle", seed0=1007)
         # Third corpus axis: one-bounce GI castle — different lighting
         # statistics (soft indirect fill, sky bleed) in input + target.
         batch += render_pairs(args.pairs, scene_kind="castle", seed0=2007,
                               gi=1)
+        kinds += ["castle"] * args.pairs + ["castle_gi"] * args.pairs
         if args.data:
-            flat = {"n": np.int32(len(batch))}
+            flat = {"n": np.int32(len(batch)),
+                    "kinds": np.asarray(kinds)}
             for i, (inputs, target) in enumerate(batch):
                 for k, v in inputs.items():
                     flat[f"{i}_{k}"] = v
                 flat[f"{i}_target"] = target
             np.savez(args.data, **flat)
             print("cached pairs to", args.data)
-    # Hold out the last pair of each kind for the SSIM report. The kind
-    # boundaries are derived from the actual dataset size (a cached .npz
-    # may have been produced with a different --pairs), so the held-out
-    # pairs are never ones the model trains on.
-    third = len(batch) // 3
-    heldout = [batch.pop(3 * third - 1), batch.pop(2 * third - 1),
-               batch.pop(third - 1)]
+    # Hold out the LAST pair of each corpus kind for the SSIM report,
+    # located by the per-pair kind tags (one pop per distinct kind).
+    last_of_kind = {}
+    for i, k in enumerate(kinds):
+        last_of_kind[k] = i
+    heldout = [batch.pop(i)
+               for i in sorted(last_of_kind.values(), reverse=True)]
     dh, dw = batch[0][1].shape[1:]
 
     # FRESH init (zero-init residual head), never the shipped weights:

@@ -57,6 +57,42 @@ def gaussian_3x3(img):
     return taps(pad) / jnp.maximum(taps(ones), 1e-12)
 
 
+def rcas(img, sharpness):
+    """Robust contrast-adaptive sharpen (RCAS) of a (3, H, W) image.
+
+    The upscalerSharpness consumer: the reference feeds the knob into
+    FSR2's RCAS pass (rt64_fsr.cpp:141-166) and DLSS's sharpness
+    parameter (rt64_dlss.cpp:193-227); this is the AMD FSR1 RCAS
+    formula (cross-neighborhood negative lobe, clamped so the 4-tap
+    kernel never rings) scaled by `sharpness` in [0, 1] — exactly
+    identity at 0.0, maximum stable sharpening at 1.0. Input must be
+    display-range [0, 1] (the lobe bound's "1" is the range peak, as
+    in FSR where RCAS runs post-tonemap); the framegraph clips before
+    the tap.
+    """
+    c, h, w = img.shape
+    pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    e = img
+    b = pad[:, 0:h, 1 : w + 1]  # north
+    d = pad[:, 1 : h + 1, 0:w]  # west
+    f = pad[:, 1 : h + 1, 2 : w + 2]  # east
+    hh = pad[:, 2 : h + 2, 1 : w + 1]  # south
+    # PER-CHANNEL limiters (AMD's lobeR/G/B), then the most restrictive
+    # (max, i.e. closest to zero) drives one shared lobe — a
+    # luma-driven bound breaks because luma's peak is not 1.0.
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, hh)), e)
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, hh)), e)
+    # out = (lobe*sum4 + e) / (4*lobe + 1) stays in [0, 1] when
+    # lobe >= max(-mn/(4*mx), (1-mx)/(4*mn-4)) per channel (both are
+    # <= 0; including e in mn/mx only tightens them).
+    hit_min = -(mn / jnp.maximum(4.0 * mx, 1e-4))
+    hit_max = (1.0 - mx) / jnp.minimum(4.0 * mn - 4.0, -1e-4)
+    lobe = jnp.maximum(hit_min, hit_max).max(axis=0, keepdims=True)
+    # RCAS_LIMIT = 0.25 - 1/16: the fixed stability clamp.
+    lobe = jnp.clip(lobe, -(0.25 - 1.0 / 16.0), 0.0) * sharpness
+    return (lobe * (b + d + f + hh) + e) / (4.0 * lobe + 1.0)
+
+
 def quad_pack_planar(img, dtype=None):
     """(C, H, W) -> (H*W, 4C): per pixel, the channel values of itself
     and its +x, +y, +xy neighbors (edge-clamped). Cheap elementwise

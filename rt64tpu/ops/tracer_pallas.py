@@ -942,16 +942,23 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
         tmin = rays_ref[6, sl].reshape(BLOCK_RAYS, 1)
         tmax = rays_ref[7, sl].reshape(BLOCK_RAYS, 1)
 
+        # STATIC entry bound: clusters whose conservative entry lies
+        # beyond every ray's t_max can't block anything that matters.
+        # Deliberately NOT tightened per iteration with unblocked-ray
+        # t_max: the tightening reductions cost more than they saved
+        # at SHADOW_UNROLL=8 (benchmarks/kernelab.py, round 4).
+        worst0 = jnp.max(tmax)
+
         def cond(carry):
-            i, blocked_n, worst, _ = carry
+            i, blocked_n = carry[0], carry[1]
             return (
                 (i < count)
                 & (blocked_n < float(BLOCK_RAYS))
-                & (entry_ref[s, jnp.minimum(i, nc - 1)] <= worst)
+                & (entry_ref[s, jnp.minimum(i, nc - 1)] <= worst0)
             )
 
         def body(carry):
-            i, blocked_n, worst, bl = carry
+            i, blocked_n, bl = carry
             for k in range(0, SHADOW_UNROLL, 2):
                 cid0 = ivals_ref[s, 1 + i + k]
                 cid1 = ivals_ref[s, 1 + i + k + 1]
@@ -961,7 +968,7 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
                 bl = jnp.maximum(bl, jnp.where(hit, 1.0, 0.0))
             row_blocked = bl.max(axis=1, keepdims=True)
             blocked_n = row_blocked.sum()
-            return (i + SHADOW_UNROLL, blocked_n, worst, bl)
+            return (i + SHADOW_UNROLL, blocked_n, bl)
 
         @pl.when(count == 0)
         def _():
@@ -971,9 +978,9 @@ def _shadow_kernel_vmem(ivals_hbm, entry_hbm, rays_ref, cluster_ref,
 
         @pl.when(count > 0)
         def _():
-            init = (jnp.int32(0), jnp.float32(0), jnp.max(tmax),
+            init = (jnp.int32(0), jnp.float32(0),
                     jnp.zeros((BLOCK_RAYS, 2 * K_CS), jnp.float32))
-            _, _, _, bl = jax.lax.while_loop(cond, body, init)
+            _, _, bl = jax.lax.while_loop(cond, body, init)
             out_ref[s] = (
                 bl.max(axis=1, keepdims=True).reshape(
                     1, BLOCK_RAYS // 128, 128

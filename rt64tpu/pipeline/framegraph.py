@@ -70,6 +70,10 @@ class RenderConfig:
     # jit) when a frame reports alpha_dropped > 0 — the capacity-bucket
     # pattern (limits.py) applied to alpha-hit shading.
     alpha_shade_boost: int = 1
+    # STATIC sharpening gate (like motion_blur_enabled): the host knows
+    # whether upscaler_sharpness is zero; the strength itself is traced
+    # (gp.upscaler_sharpness) so slider drags don't re-specialize.
+    sharpen_enabled: bool = False
     use_pallas_tracer: bool = False  # cluster-culled packet kernel (TPU)
     # Run the packet kernels through the Pallas interpreter (CPU):
     # validates the production traversal path — including under
@@ -140,6 +144,11 @@ class GlobalParams(NamedTuple):
     # resetAccumulation for the in-frame temporal upscaler
     # (rt64_upscaler.h:40); None when the FSR slot is off.
     temporal_reset: jax.Array | None = None
+    # upscalerSharpness (rt64_upscaler.h:25-41): RCAS strength applied
+    # to the upscaled output when cfg.sharpen_enabled (the reference
+    # feeds it to FSR2's RCAS, rt64_fsr.cpp:141-166, and DLSS,
+    # rt64_dlss.cpp:205).
+    upscaler_sharpness: jax.Array | None = None
 
 
 class History(NamedTuple):
@@ -1317,7 +1326,14 @@ def render_frame(
     gp: GlobalParams,
     history: History,
     bn_table,
-    bg_planes,  # (3, H, W) raster background
+    # (3, H, W) host-provided background base plane. CONTRACT: consumed
+    # only when the scene statically has raster-background triangles
+    # (ShadeFeatures.has_raster_bg) — without them the whole background
+    # machinery (raster composite, fixed-grid blend, bounce-miss env
+    # fetch) is compiled out and a non-black host plane is ignored
+    # (the reference's host always clears to black before the BG
+    # instances draw, rt64_view.cpp:1292-1319).
+    bg_planes,
     temporal=None,  # (3, DH, DW) temporal-upscaler history (FSR slot)
     cfg: RenderConfig = None,
     visualization_mode: int = 0,
@@ -1533,6 +1549,21 @@ def render_frame(
         )
     else:
         disp = rt_rgb
+
+    # RCAS sharpening of the upscaled output (the upscalerSharpness
+    # consumer; see GlobalParams.upscaler_sharpness). Runs AFTER the
+    # temporal history was captured — FSR2's RCAS is a display-side
+    # pass; the accumulator feeds back unsharpened history. RCAS's
+    # no-ringing lobe bound assumes display-range [0, 1] input (the
+    # reference runs it post-tonemap too), so clip first — the present
+    # pack applies the identical clip, so displayed content is
+    # unchanged where the knob is 0.
+    if cfg.sharpen_enabled and scaling and cfg.upscaler != d.UPSCALER_OFF:
+        disp = filters.rcas(
+            jnp.clip(disp, 0.0, 1.0),
+            gp.upscaler_sharpness if gp.upscaler_sharpness is not None
+            else jnp.float32(0.0),
+        )
 
     if visualization_mode == 0:
         if (cfg.display_height, cfg.display_width) != (h, w):

@@ -93,28 +93,6 @@ class ViewRenderer:
     # -- render: the View::render analog ------------------------------------
     def render(self, delta_time_ms: float):
         view = self.view
-        # Compacted-shade capacity auto-grow: if the newest COMPLETED
-        # frame dropped alpha hits (shade_hits_compacted overflow),
-        # double the capacity boost and re-specialize — the
-        # capacity-bucket pattern (limits.py) instead of a per-slot
-        # runtime fallback (a lax.cond fence costs ~9 ms each on a 480p
-        # frame). The overflow frame itself rendered with the extra
-        # alpha layers missing; this corrects within two frames.
-        # Pipelined mode checks the frame whose present already
-        # synchronized (its drop scalar was prefetched at dispatch) —
-        # blocking on the IN-FLIGHT frame's scalar here serialized the
-        # host against the device and cost ~40 ms/frame over the
-        # tunneled transport.
-        drop_src = self._pick_src[0] if self._pick_src else None
-        if drop_src is not None:
-            import numpy as _np
-
-            if int(_np.asarray(drop_src.alpha_dropped)) > 0:
-                self._alpha_boost = min(self._alpha_boost * 2, 16)
-                from rt64tpu.utils.log import breadcrumb
-
-                breadcrumb(f"alpha shade capacity overflow; boost -> "
-                           f"{self._alpha_boost}")
         cfg = self._config()
         gp = self._global_params(cfg)
         if self.history is None or self.history.depth.shape[0] != (
@@ -150,10 +128,44 @@ class ViewRenderer:
         self._temporal = out.temporal
         self._last = out
 
-        if self.pipelined:
+        if not self.pipelined:
+            # Compacted-shade capacity auto-grow + SAME-FRAME re-render:
+            # if this frame dropped alpha hits (shade_hits_compacted
+            # overflow), double the capacity boost, re-specialize, and
+            # render the frame AGAIN before presenting — a one-frame
+            # hitch (jit of the grown variant) instead of a presented
+            # image missing alpha layers. The capacity-bucket pattern
+            # (limits.py) instead of a per-slot runtime fallback (a
+            # lax.cond fence costs ~9 ms each on a 480p frame). The
+            # drop-scalar read blocks on the frame, which the present
+            # readback below does anyway in this (reference-parity,
+            # full-sync) mode. The re-render consumes the dropped
+            # frame's OUTPUT history (the input was donated) — one
+            # extra temporal-accumulation step, invisible next frame.
+            while int(np.asarray(out.alpha_dropped)) > 0 and (
+                self._alpha_boost < 16
+            ):
+                self._alpha_boost = min(self._alpha_boost * 2, 16)
+                from rt64tpu.utils.log import breadcrumb
+
+                breadcrumb(f"alpha shade capacity overflow; boost -> "
+                           f"{self._alpha_boost}; re-rendering frame")
+                cfg = self._config()
+                fn = self._get_jitted(cfg, view.visualization_mode)
+                temporal = self._temporal
+                out, present = fn(self._sb, gp, self.history,
+                                  self.bn_table, bg_planes, temporal)
+                self.history = out.history
+                self._temporal = out.temporal
+                self._last = out
+        else:
             # Present the PREVIOUS frame; leave this one in flight. The
             # RGBA8 readback starts NOW (async) so it overlaps this
             # frame's device time instead of stalling at np.asarray.
+            # Blocking on the IN-FLIGHT frame's drop scalar here would
+            # serialize the host against the device (~40 ms/frame over
+            # the tunneled transport), so overflow is detected at
+            # present time below.
             if hasattr(present, "copy_to_host_async"):
                 present.copy_to_host_async()
                 # Prefetch the overflow counter too: the capacity check
@@ -163,6 +175,24 @@ class ViewRenderer:
             if pending is None:
                 return
             present, out, cfg = pending
+            if int(np.asarray(out.alpha_dropped)) > 0:
+                # The completed frame is missing alpha layers. Its
+                # inputs are gone (donated), so an exact re-render is
+                # impossible without copying the history pytree every
+                # frame; HOLD the previous framebuffer for one frame
+                # (a hitch, not a wrong image) and grow the capacity
+                # for the frames already queuing behind it.
+                if self._alpha_boost < 16:
+                    self._alpha_boost = min(self._alpha_boost * 2, 16)
+                    from rt64tpu.utils.log import breadcrumb
+
+                    breadcrumb(
+                        f"alpha shade capacity overflow; boost -> "
+                        f"{self._alpha_boost}; holding previous frame"
+                    )
+                    self._pick_src = (out, cfg)
+                    self._pick_plane = None
+                    return
         # present is the device-packed (DH, DW, 3) uint8 frame — 1/5 the
         # readback bytes of the old f32 path (the host<->device tunnel
         # runs ~40 MB/s; the f32 image alone cost ~100 ms/frame).
@@ -253,6 +283,10 @@ class ViewRenderer:
             denoiser_enabled=bool(vd.denoiser_enabled),
             motion_blur_enabled=float(vd.motion_blur_strength) > 0.0,
             upscaler=int(vd.upscaler),
+            sharpen_enabled=(
+                vd.upscaler != d.UPSCALER_OFF
+                and float(vd.upscaler_sharpness) > 0.0
+            ),
             alpha_cap=self.packer.alpha_cap,
             alpha_shade_boost=self._alpha_boost,
             use_pallas_tracer=jax.default_backend() not in ("cpu",),
@@ -327,6 +361,7 @@ class ViewRenderer:
             di_reproject=np.bool_(False),  # DI_REPROJECTION_SUPPORT undefined
             gi_reproject=np.bool_(denoiser and vd.gi_samples > 0),
             binary_lock_mask=np.bool_(vd.upscaler != d.UPSCALER_FSR),
+            upscaler_sharpness=np.float32(vd.upscaler_sharpness),
         )
 
     def _background_planes(self, cfg):

