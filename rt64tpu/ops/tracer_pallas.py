@@ -134,27 +134,69 @@ def build_cluster_boxes(scene, cs: int):
 
 
 # Woop unit-triangle transform rows (cluster_mats, shape
-# (nc, 8, 3*CS)): rows 0..3 are the matmul operand — for output group
-# g (x/y/z) and triangle j, column g*CS+j holds [W_g | -W_g.v0] so that
-# [o,1,0..] @ m = s and [d,0,0..] @ m = r with s = W(o - v0), r = W d.
-# Rows 4..7 ride in the same tile but multiply the rays' zero columns
-# (matmul-inert); the kernel reads them as per-triangle aux rows.
-W_NN = 4  # n.n (n = e1 x e2): recovers MT's det = -r_z * nn
-W_ACTIVE = 5
-W_NO_CULL = 6
-W_BIAS = 7
-W_ROWS = 8
+# (nc, WS_ROWS, 3*CS)) in SPLIT-OPERAND form: the MXU rounds f32
+# matmul operands to bf16 (Mosaic DEFAULT dot precision), which at
+# world magnitudes cost ~1% of castle hits and a 2e-2 t-error tail
+# (benchmarks/precision_check.py, round 4). Each f32 factor is split
+# hi + lo (hi = bf16 rounding, lo = the f32 residual — 8 more mantissa
+# bits once the MXU rounds it again), and ALL FOUR product terms ride
+# ONE matmul by widening the contraction dim from 8 to 16 — free on
+# the 128-deep systolic array:
+#
+#   s + r = [x_hi | x_lo | x | 1 | 1 | 0...] @
+#           [W_hi; W_hi; W_lo; tr_hi; tr_lo; thr; bias]
+#         = W_hi x_hi + W_hi x_lo + W_lo x + tr
+#
+# The third block passes the FULL x against W_lo: in exact arithmetic
+# the sum telescopes to W x + tr EXACTLY (interpret mode / the CPU
+# parity suite see f32-identical results); on the MXU x rounds to
+# x_hi there, leaving the O(2^-18) W_lo x_lo term as the only
+# structural loss — ~2^-17-relative overall (only the lo parts round)
+# vs 2^-9 single-operand bf16, and three fewer operand rows than the
+# explicit 4-term form. The t-error tail this kills was the round-4
+# audit's Missing #2 (the DXR traversal the kernel replaces is
+# f32-exact); measured on the castle primary population:
+# 97.57% -> 99.996% triangle agreement, 1086 -> 0 hit/miss flips,
+# t rel err p99 4.8e-3 -> 9.1e-6 (benchmarks/precision_check.py).
+#
+# For output group g (x/y/z) and triangle j, column g*CS+j holds the
+# corresponding W_g / -W_g.v0 parts so that the origin rows produce
+# s = W(o - v0) and the direction rows r = W d. The two aux rows ride
+# in the same tile but multiply the rays' zero columns (matmul-inert);
+# the kernel reads them as per-triangle f32 rows:
+#   WS_THR: signed keep threshold. MT's det = -r_z * nn (nn = n.n,
+#     n = e1 x e2), so |det| > 1e-9 becomes |r_z| > thr with
+#     thr = 1e-9 / nn — one precomputed row replaces the nn row AND
+#     the per-visit det multiply. no_cull rides its SIGN (thr < 0
+#     means no_cull); inactive/degenerate lanes store +BIG (keep can
+#     never pass, so the all-zero-transform convention still holds).
+#   WS_BIAS: the winner's depth bias, carried out with the hit.
+WS_THR = 11
+WS_BIAS = 12
+WS_ROWS = 13  # VMEM sublane-pads to 16 either way; 13 keeps the
+# per-visit pair concat (the tile's only per-visit data movement)
+# 19% leaner than the explicit 4-term 16-row form.
+
+
+def _bf16_split(a):
+    """(hi, lo): hi = a rounded to bf16 (kept f32), lo = the residual.
+    hi survives the MXU's operand rounding exactly; lo's own bf16
+    rounding keeps 8 further mantissa bits of a."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
 
 
 def build_cluster_mats(scene, cs: int = CLUSTER_SIZE):
-    """Cluster-major Woop transforms for the MXU intersection tile.
+    """Cluster-major split-operand Woop transforms for the MXU tile.
 
     The VPU Moller-Trumbore tile costs ~45 elementwise ops per
     (ray, tri) pair; with the unit-triangle (Woop) transform the
-    per-visit work becomes ONE (2B,8)x(8,3CS) matmul on the MXU plus a
-    ~16-op VPU tail (t = -s_z/r_z, u = s_x + t r_x, v = s_y + t r_y),
+    per-visit work becomes ONE (2B,16)x(16,3CS) matmul on the MXU plus
+    a ~16-op VPU tail (t = -s_z/r_z, u = s_x + t r_x, v = s_y + t r_y),
     measured 1.8x faster per visit (benchmarks/woopbench.py). W is the
-    inverse of [e1 e2 n]: rows (e2 x n, n x e1, n) / (n.n)."""
+    inverse of [e1 e2 n]: rows (e2 x n, n x e1, n) / (n.n). See the
+    WS_* layout comment for the hi/lo split that restores near-f32
+    accuracy (the DXR traversal the kernel replaces is f32-exact)."""
     t_total = scene.num_triangles
     assert t_total % cs == 0, (t_total, cs)
     nc = t_total // cs
@@ -197,26 +239,41 @@ def build_cluster_mats(scene, cs: int = CLUSTER_SIZE):
     active = active.astype(jnp.float32)
 
     w = jnp.stack([w0, w1, w2], axis=1)  # (3 in-dims, 3 groups, T)
-    aux = jnp.stack([
-        nn, active, scene.no_cull.astype(jnp.float32), scene.bias,
-    ], axis=0)  # (4, T)
-    aux3 = jnp.broadcast_to(aux[:, None, :], (4, 3, aux.shape[1]))
-    m = jnp.concatenate([w, tr[None], aux3], axis=0)  # (8, 3, T)
-    m = m.reshape(W_ROWS, 3, nc, cs).transpose(2, 0, 1, 3)
-    return m.reshape(nc, W_ROWS, 3 * cs)
+    w_hi, w_lo = _bf16_split(w)
+    tr_hi, tr_lo = _bf16_split(tr)
+    # Signed keep threshold (see WS_THR): 1e-9 / nn, negative when the
+    # triangle is double-sided, +BIG when inactive/degenerate.
+    thr = jnp.where(
+        active > 0.0, 1e-9 * inv, jnp.float32(_BIG)
+    )
+    thr = jnp.where(scene.no_cull & (active > 0.0), -thr, thr)
+    aux = jnp.stack([thr, scene.bias], axis=0)  # (2, T)
+    aux3 = jnp.broadcast_to(aux[:, None, :], (2, 3, aux.shape[1]))
+    m = jnp.concatenate([
+        w_hi, w_hi, w_lo, tr_hi[None], tr_lo[None], aux3,
+    ], axis=0)  # (WS_ROWS, 3, T)
+    m = m.reshape(WS_ROWS, 3, nc, cs).transpose(2, 0, 1, 3)
+    return m.reshape(nc, WS_ROWS, 3 * cs)
 
 
 def _block_od(rays_ref, sl):
-    """(2B, 8) homogeneous ray operand for the Woop matmul: first B
-    rows [o, 1, 0...], next B rows [d, 0, 0...]. Built once per ray
-    block, amortized over its cluster visits."""
+    """(2B, WS_ROWS) split-operand homogeneous ray rows for the Woop
+    matmul (see the WS_* layout): first B rows
+    [o_hi | o_lo | o | 1 | 1 | 0 | 0], next B rows
+    [d_hi | d_lo | d | 0 | 0 | 0 | 0]. Built once per ray block,
+    amortized over its cluster visits."""
     b = BLOCK_RAYS
-    o_t = rays_ref[0:3, sl]  # (3, B)
-    d_t = rays_ref[3:6, sl]
+    o_t = rays_ref[0:3, sl].T  # (B, 3)
+    d_t = rays_ref[3:6, sl].T
+    o_hi, o_lo = _bf16_split(o_t)
+    d_hi, d_lo = _bf16_split(d_t)
     ones = jnp.ones((b, 1), jnp.float32)
+    zeros2 = jnp.zeros((b, 2), jnp.float32)
     return jnp.concatenate([
-        jnp.concatenate([o_t.T, ones, jnp.zeros((b, 4), jnp.float32)], 1),
-        jnp.concatenate([d_t.T, jnp.zeros((b, 5), jnp.float32)], 1),
+        jnp.concatenate([o_hi, o_lo, o_t, ones, ones, zeros2], 1),
+        jnp.concatenate(
+            [d_hi, d_lo, d_t, jnp.zeros((b, 4), jnp.float32)], 1,
+        ),
     ], axis=0)
 
 
@@ -224,7 +281,7 @@ def _woop_pair(m0, m1, od, tmin, tmax, cull_backface):
     """TWO 64-triangle clusters intersected as ONE (B, 128) lane tile.
 
     The pair's Woop operands are lane-concatenated group-by-group
-    BEFORE the matmul — six (W_ROWS, 64) shuffles on the tiny operand
+    BEFORE the matmul — six (WS_ROWS, 64) shuffles on the tiny operand
     instead of shuffling the (2B, 384) product — so the matmul and the
     whole elementwise tail (the kernel's dominant cost) run at full
     128-lane occupancy over twice-finer culling granularity. Returns
@@ -237,27 +294,30 @@ def _woop_pair(m0, m1, od, tmin, tmax, cull_backface):
         m0[:, 0:ks], m1[:, 0:ks],
         m0[:, ks:2 * ks], m1[:, ks:2 * ks],
         m0[:, 2 * ks:3 * ks], m1[:, 2 * ks:3 * ks],
-    ], axis=1)  # (W_ROWS, 3 * 128)
+    ], axis=1)  # (WS_ROWS, 3 * 128)
     sr = jnp.dot(od, mm, preferred_element_type=jnp.float32)  # (2B, 3CS)
     sx, sy, sz = sr[:b, 0:cs], sr[:b, cs:2 * cs], sr[:b, 2 * cs:3 * cs]
     rx, ry, rz = sr[b:, 0:cs], sr[b:, cs:2 * cs], sr[b:, 2 * cs:3 * cs]
-    det = -(rz * mm[W_NN, 0:cs][None, :])
+    # keep: MT's |det| > 1e-9 with det = -r_z * nn, via the signed
+    # precomputed threshold row (see WS_THR) — no det multiply.
+    thr_s = mm[WS_THR, 0:cs][None, :]
+    thr = jnp.abs(thr_s)
     if cull_backface:
-        keep = (det > 1e-9) | (
-            (mm[W_NO_CULL, 0:cs][None, :] > 0.0) & (det < -1e-9)
-        )
+        # Front faces (det>eps <=> r_z < -thr) always accepted;
+        # backfaces only when no_cull (thr_s < 0).
+        keep = (rz < -thr) | ((thr_s < 0.0) & (rz > thr))
     else:
-        keep = jnp.abs(det) > 1e-9
+        keep = jnp.abs(rz) > thr
     t = -sz / jnp.where(keep, rz, 1.0)
     u = sx + t * rx
     v = sy + t * ry
-    # No ACTIVE term: inactive lanes have an all-zero transform
-    # (build_cluster_mats), so det = 0 already excludes them via keep.
+    # No ACTIVE term: inactive lanes have an all-zero transform and a
+    # +BIG threshold (build_cluster_mats), so keep excludes them.
     hit = (
         keep & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         & (t >= tmin) & (t <= tmax)
     )
-    return hit, t, u, v, mm[W_BIAS, 0:cs]
+    return hit, t, u, v, mm[WS_BIAS, 0:cs]
 
 
 def _woop_pair_occl(m0, m1, od, tmin, tmax):
@@ -284,12 +344,12 @@ def _woop_pair_occl(m0, m1, od, tmin, tmax):
         m0[:, 0:ks], m1[:, 0:ks],
         m0[:, ks:2 * ks], m1[:, ks:2 * ks],
         m0[:, 2 * ks:3 * ks], m1[:, 2 * ks:3 * ks],
-    ], axis=1)  # (W_ROWS, 3 * 128)
+    ], axis=1)  # (WS_ROWS, 3 * 128)
     sr = jnp.dot(od, mm, preferred_element_type=jnp.float32)  # (2B, 3CS)
     sx, sy, sz = sr[:b, 0:cs], sr[:b, cs:2 * cs], sr[:b, 2 * cs:3 * cs]
     rx, ry, rz = sr[b:, 0:cs], sr[b:, cs:2 * cs], sr[b:, 2 * cs:3 * cs]
-    det = -(rz * mm[W_NN, 0:cs][None, :])
-    keep = jnp.abs(det) > 1e-9  # shadows never cull
+    # |det| > 1e-9 via the signed threshold row; shadows never cull.
+    keep = jnp.abs(rz) > jnp.abs(mm[WS_THR, 0:cs][None, :])
     q = rz * rz
     p = -(sz * rz)
     uq = sx * q + p * rx

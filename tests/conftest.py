@@ -18,9 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # The axon TPU plugin force-sets jax_platforms to "axon,cpu" during
 # import, overriding the JAX_PLATFORMS env var — so the env var alone
 # does NOT pin tests to CPU. Override the config after import.
+# RT64TPU_TEST_TPU=1 skips the pin so device-only gates
+# (test_precision_tpu.py) run on real hardware.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RT64TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeat suite runs skip the (dominant)
 # full-frame XLA compiles. NOTE this jax version ignores the
 # JAX_COMPILATION_CACHE_DIR env var when it is set after process start;
