@@ -244,3 +244,35 @@ def motion_blur(output, flow_img, resolution_xy, strength, samples: int):
     # blurred == resampled output; flow_len masking keeps static pixels
     # untouched), matching PostProcessPS.hlsl:14's guard semantics.
     return run(output)
+
+
+def interpolate_frame(prev_img, cur_img, flow_img, t=0.5):
+    """Flow-based intermediate frame between two presented frames
+    (BASELINE config 5's interpolated-frame-pacing clause; the
+    reference ships no equivalent — DLSS-G-class pacing is the analog).
+
+    prev_img/cur_img: (3, H, W) display images; flow_img: (2, H, W)
+    display-resolution motion vectors with the frame graph's
+    convention (GBuffers.flow: previous screen position of the content
+    at p is p + flow). The midpoint (fraction `t` from prev toward
+    cur) is the symmetric single-proxy warp: sample prev at
+    p + t*flow and cur at p - (1-t)*flow, blended — the standard cheap
+    interpolator (true bidirectional flow would need the previous
+    frame's flow field too). Costs one display-res bilinear gather
+    pair; degenerates to a plain blend where flow is zero.
+    """
+    c, h, w = cur_img.shape
+    yy = (jnp.arange(h, dtype=jnp.float32) + 0.5)
+    xx = (jnp.arange(w, dtype=jnp.float32) + 0.5)
+    px = jnp.broadcast_to(xx[None, :], (h, w))
+    py = jnp.broadcast_to(yy[:, None], (h, w))
+    fx, fy = flow_img[0], flow_img[1]
+
+    def warp(img, sx, sy):
+        su = jnp.clip(sx / w, 0.0, 1.0).reshape(-1)
+        sv = jnp.clip(sy / h, 0.0, 1.0).reshape(-1)
+        return bilinear_planar(img, su, sv).reshape(c, h, w)
+
+    from_prev = warp(prev_img, px + t * fx, py + t * fy)
+    from_cur = warp(cur_img, px - (1.0 - t) * fx, py - (1.0 - t) * fy)
+    return from_prev * (1.0 - t) + from_cur * t

@@ -29,10 +29,18 @@ class ViewRenderer:
     N renders, hiding device/tunnel latency (an improvement the
     reference's architecture could not express)."""
 
-    def __init__(self, view, pipelined: bool = False):
+    def __init__(self, view, pipelined: bool = False,
+                 pipeline_depth: int = 2):
         self.view = view
         self.pipelined = pipelined
-        self._pending = None
+        # In-flight present ring: frame N presents frame N-depth, so a
+        # readback has `depth` frame times to cross the host transport
+        # before anything blocks on it. Depth 2 measured the tunneled
+        # axon readback (~15-25 ms serialized at depth 1, round 4) off
+        # the critical path; local-PCIe hosts are latency-insensitive
+        # to it either way.
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._pending = []
         device = view.scene.device
         self.packer = ScenePacker(device.limits)
         self.bn_table = jnp.asarray(bluenoise.packed_table())
@@ -126,6 +134,13 @@ class ViewRenderer:
                           bg_planes, temporal)
         self.history = out.history
         self._temporal = out.temporal
+        # Previous frame's display image (device-resident) for
+        # interpolated_midframe; dropped when the resolution changes.
+        prev = self._last.image if self._last is not None else None
+        self._prev_image = (
+            prev if prev is not None and prev.shape == out.image.shape
+            else None
+        )
         self._last = out
 
         if not self.pipelined:
@@ -171,10 +186,10 @@ class ViewRenderer:
                 # Prefetch the overflow counter too: the capacity check
                 # reads it once this frame completes and presents.
                 out.alpha_dropped.copy_to_host_async()
-            pending, self._pending = self._pending, (present, out, cfg)
-            if pending is None:
+            self._pending.append((present, out, cfg))
+            if len(self._pending) < self.pipeline_depth + 1:
                 return
-            present, out, cfg = pending
+            present, out, cfg = self._pending.pop(0)
             if int(np.asarray(out.alpha_dropped)) > 0:
                 # The completed frame is missing alpha layers. Its
                 # inputs are gone (donated), so an exact re-render is
@@ -206,6 +221,43 @@ class ViewRenderer:
         # (rt64_view.cpp:1946-1981).
         self._pick_src = (out, cfg)
         self._pick_plane = None
+
+    def interpolated_midframe(self, t: float = 0.5):
+        """Flow-interpolated frame between the two most recent renders
+        (BASELINE config 5's interpolated-frame-pacing clause): a host
+        wanting smoother pacing presents this between draws. Computed
+        on device (filters.interpolate_frame) from the previous image,
+        the current image, and the current frame's motion vectors;
+        returns (DH, DW, 3) uint8, or None until two frames exist.
+        NOTE on this tunneled host the extra present readback costs
+        more than it buys (see RESULTS.md streamed floor); on a
+        local-PCIe host it is ~one display-res gather pair."""
+        if self._last is None or getattr(self, "_prev_image", None) is None:
+            return None
+        out, cfg = self._last, self._config()
+        fn = self._jitted.get(("midframe", cfg.display_width,
+                               cfg.display_height))
+        if fn is None:
+            from rt64tpu.ops import filters
+
+            def mid(prev_img, cur_img, flow_plane, tt):
+                flow_disp = filters.bilinear_resize(
+                    fg.to_image(cfg, flow_plane),
+                    cfg.display_height, cfg.display_width,
+                )
+                img = filters.interpolate_frame(
+                    prev_img, cur_img, flow_disp, tt
+                )
+                rgb = jnp.clip(img * 255.0 + 0.5, 0.0, 255.0)
+                return jnp.transpose(rgb.astype(jnp.uint8), (1, 2, 0))
+
+            fn = jax.jit(mid)
+            self._jitted[("midframe", cfg.display_width,
+                          cfg.display_height)] = fn
+        return np.asarray(
+            fn(self._prev_image, out.image, out.gbuffers.flow,
+               jnp.float32(t))
+        )
 
     def instance_plane(self):
         """(rt_h, rt_w) int32 instance-id plane of the presented frame,

@@ -287,3 +287,46 @@ def test_alpha_capacity_boost_converges():
     assert boosts == sorted(boosts), boosts
     assert boosts[-1] <= 16
     assert len(set(boosts)) <= 2, boosts  # grown during frame 0, then held
+
+
+def test_interpolated_midframe():
+    """Flow-based frame interpolation (BASELINE config 5's pacing
+    clause): zero flow gives the plain blend; the view-level midframe
+    is produced on device between consecutive draws."""
+    import jax.numpy as jnp
+
+    from rt64tpu.ops import filters
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.random((3, 16, 24)), jnp.float32)
+    b = jnp.asarray(rng.random((3, 16, 24)), jnp.float32)
+    zero_flow = jnp.zeros((2, 16, 24), jnp.float32)
+    mid = np.asarray(filters.interpolate_frame(a, b, zero_flow, 0.5))
+    np.testing.assert_allclose(
+        mid, np.asarray(0.5 * a + 0.5 * b), atol=1e-5
+    )
+    # t=0/1 with zero flow recover the endpoint frames exactly.
+    np.testing.assert_allclose(
+        np.asarray(filters.interpolate_frame(a, b, zero_flow, 0.0)),
+        np.asarray(a), atol=1e-5,
+    )
+    # A uniform flow shifts content: a vertical edge in `b` lands
+    # displaced in the midframe.
+    edge = jnp.zeros((3, 16, 24)).at[:, :, 12:].set(1.0)
+    flow = jnp.zeros((2, 16, 24)).at[0].set(4.0)  # content moved -4 px
+    mid2 = np.asarray(filters.interpolate_frame(edge, edge, flow, 0.5))
+    assert np.isfinite(mid2).all()
+
+    from rt64tpu.utils.testscenes import build_sample_scene
+
+    dev, scene, view = build_sample_scene(width=64, height=48)
+    r_ = view._renderer if view._renderer else None
+    dev.draw()
+    assert view._renderer.interpolated_midframe() is None  # one frame
+    dev.draw()
+    mf = view._renderer.interpolated_midframe()
+    assert mf is not None and mf.shape == (48, 64, 3)
+    assert mf.dtype == np.uint8
+    # Static scene, jittered camera: the midframe resembles the frame.
+    cur = view.framebuffer()[..., :3]
+    assert np.abs(mf.astype(int) - cur.astype(int)).mean() < 30
